@@ -1,0 +1,225 @@
+"""Epipolar geometry primitives in pure JAX: normalization, triangulation, essential
+matrix decomposition, epipolar distances.
+
+TPU-native replacement of the kornia surface used by the reference
+(`/root/reference/pose_optimization/two_view/estimate_relative_pose.py:2-4`:
+`normalize_points`, `motion_from_essential`, `motion_from_essential_choose_solution`,
+`triangulate_points`, `symmetrical_epipolar_distance`, `depth_from_point`).
+
+Design notes (TPU-first):
+- All decompositions route through `safe_eigh` on small Gram matrices instead of
+  tall SVDs: stable clamped gradients, MXU-friendly batched matmuls.
+- Validity is expressed through weights/masks, never ragged shapes.
+"""
+
+import jax.numpy as jnp
+
+from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh, smallest_eigvec
+
+_EPS = 1e-8
+
+
+def safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
+    """L2 norm with a NaN-free gradient at the origin.
+
+    `jnp.linalg.norm` has a NaN gradient at exactly zero, and JAX's
+    `where`-style maskouts still propagate it (0 * nan = nan); `sqrt(max(s, eps))`
+    with `maximum` zeroes the tangent below eps instead.
+    """
+    s = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(s, eps))
+
+
+def normalize_keypoints(kpts, intr):
+    """Pixel coordinates -> normalized camera coordinates.
+
+    Mirrors `normalize` (`/root/reference/pose_optimization/two_view/estimate_relative_pose.py:9-14`).
+
+    Args:
+        kpts: (..., N, 2) pixel xy.
+        intr: (..., 3, 3) or (..., 4, 4) intrinsics.
+    Returns:
+        (..., N, 2) normalized coordinates.
+    """
+    fx = intr[..., 0, 0][..., None]
+    fy = intr[..., 1, 1][..., None]
+    cx = intr[..., 0, 2][..., None]
+    cy = intr[..., 1, 2][..., None]
+    x = (kpts[..., 0] - cx) / fx
+    y = (kpts[..., 1] - cy) / fy
+    return jnp.stack([x, y], axis=-1)
+
+
+def hartley_normalize(pts, w=None):
+    """Weighted Hartley normalization: zero (weighted) mean, mean distance sqrt(2).
+
+    Args:
+        pts: (..., N, 2); w: optional (..., N) non-negative weights (zero rows are
+        excluded from the statistics, which is how masked invalid matches stay inert).
+    Returns:
+        (pts_norm (..., N, 2), T (..., 3, 3)) with pts_norm_h = T @ pts_h.
+    """
+    if w is None:
+        w = jnp.ones(pts.shape[:-1], dtype=pts.dtype)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True) + _EPS
+    mean = jnp.sum(pts * w[..., None], axis=-2, keepdims=True) / w_sum[..., None]
+    centered = pts - mean
+    dist = safe_norm(centered, axis=-1)
+    mean_dist = jnp.sum(dist * w, axis=-1, keepdims=True) / w_sum
+    scale = jnp.sqrt(2.0) / (mean_dist + _EPS)
+    pts_norm = centered * scale[..., None]
+    s = scale[..., 0]
+    mx = mean[..., 0, 0]
+    my = mean[..., 0, 1]
+    zeros = jnp.zeros_like(s)
+    ones = jnp.ones_like(s)
+    T = jnp.stack(
+        [
+            jnp.stack([s, zeros, -s * mx], axis=-1),
+            jnp.stack([zeros, s, -s * my], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+    return pts_norm, T
+
+
+def triangulate_points(P0, P1, x0, x1):
+    """Batched DLT triangulation.
+
+    Mirrors kornia `triangulate_points` as used at
+    `/root/reference/pose_optimization/two_view/estimate_relative_pose.py:115`.
+
+    Args:
+        P0, P1: (..., 3, 4) projection matrices (normalized coords -> intrinsics folded in).
+        x0, x1: (..., N, 2) normalized image points.
+    Returns:
+        (..., N, 3) 3D points.
+    """
+    # Rows of the DLT system per point: x*P2 - P0, y*P2 - P1, for both views.
+    def rows(P, x):
+        # P: (..., 3, 4), x: (..., N, 2) -> (..., N, 2, 4)
+        P0r = P[..., None, 0, :]
+        P1r = P[..., None, 1, :]
+        P2r = P[..., None, 2, :]
+        r0 = x[..., 0:1] * P2r - P0r
+        r1 = x[..., 1:2] * P2r - P1r
+        return jnp.stack([r0, r1], axis=-2)
+
+    A = jnp.concatenate([rows(P0, x0), rows(P1, x1)], axis=-2)  # (..., N, 4, 4)
+    G = jnp.einsum("...ij,...ik->...jk", A, A)  # (..., N, 4, 4)
+    h = smallest_eigvec(G)  # (..., N, 4)
+    wcomp = h[..., 3]
+    sign = jnp.where(wcomp >= 0, 1.0, -1.0)
+    denom = sign * jnp.maximum(jnp.abs(wcomp), _EPS)
+    return h[..., :3] / denom[..., None]
+
+
+def depth_from_point(R, t, X):
+    """Depth of 3D points X (..., N, 3) in the camera with extrinsics (R (...,3,3), t (...,3))."""
+    return jnp.einsum("...ij,...nj->...ni", R, X)[..., 2] + t[..., None, 2]
+
+
+def sym_epipolar_distance(x0, x1, F, squared=True):
+    """Symmetric epipolar distance of correspondences under F.
+
+    Mirrors kornia `symmetrical_epipolar_distance`
+    (used at `/root/reference/pose_optimization/two_view/estimate_relative_pose.py:122`).
+
+    Args:
+        x0, x1: (..., N, 2); F: (..., 3, 3).
+    Returns:
+        (..., N) distances (squared by default, like kornia).
+    """
+    ones = jnp.ones(x0.shape[:-1] + (1,), dtype=x0.dtype)
+    x0h = jnp.concatenate([x0, ones], axis=-1)
+    x1h = jnp.concatenate([x1, ones], axis=-1)
+    Fx0 = jnp.einsum("...ij,...nj->...ni", F, x0h)
+    FTx1 = jnp.einsum("...ji,...nj->...ni", F, x1h)
+    num = jnp.sum(x1h * Fx0, axis=-1) ** 2
+    denom = (
+        1.0 / (Fx0[..., 0] ** 2 + Fx0[..., 1] ** 2 + _EPS)
+        + 1.0 / (FTx1[..., 0] ** 2 + FTx1[..., 1] ** 2 + _EPS)
+    )
+    d = num * denom
+    if squared:
+        return d
+    return jnp.sqrt(d + _EPS)
+
+
+def _essential_uv(E):
+    """Consistent (U, V) with E ~ U diag(s) V^T via eigh of the two 3x3 Grams.
+
+    Differentiable through `safe_eigh`; avoids full SVD (whose gradient breaks on
+    the repeated singular values sigma1 = sigma2 of a true essential matrix).
+    """
+    # V columns: eigenvectors of E^T E, descending eigenvalue order.
+    wv, V = safe_eigh(jnp.swapaxes(E, -1, -2) @ E)
+    V = V[..., ::-1]  # descending
+    # `maximum` (not clip) so the zero eigenvalue of a rank-2 E contributes a
+    # zero tangent rather than sqrt'(0) = inf.
+    s = jnp.sqrt(jnp.maximum(wv[..., ::-1], 1e-12))
+    # U_i = E v_i / s_i for the two leading directions, u3 = u1 x u2.
+    Ev = E @ V  # columns E v_i
+    u1 = Ev[..., :, 0] / jnp.maximum(s[..., 0:1], _EPS)
+    u2 = Ev[..., :, 1] / jnp.maximum(s[..., 1:2], _EPS)
+    u1 = u1 / safe_norm(u1, axis=-1, keepdims=True)
+    # Gram-Schmidt to keep U orthonormal under noise.
+    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
+    u2 = u2 / safe_norm(u2, axis=-1, keepdims=True)
+    u3 = jnp.cross(u1, u2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, s, V
+
+
+def motion_from_essential(E):
+    """Four (R, t) candidates from an essential matrix.
+
+    Mirrors kornia `motion_from_essential`
+    (`/root/reference/pose_optimization/two_view/estimate_relative_pose.py:96`).
+
+    Args:
+        E: (..., 3, 3).
+    Returns:
+        Rs: (..., 4, 3, 3), ts: (..., 4, 3) with unit-norm translations.
+    """
+    U, _, V = _essential_uv(E)
+    # Enforce det(U) = det(V) = +1 so the candidates are rotations.
+    detU = jnp.linalg.det(U)
+    detV = jnp.linalg.det(V)
+    U = U * jnp.stack([jnp.ones_like(detU), jnp.ones_like(detU), detU], axis=-1)[..., None, :]
+    V = V * jnp.stack([jnp.ones_like(detV), jnp.ones_like(detV), detV], axis=-1)[..., None, :]
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    VT = jnp.swapaxes(V, -1, -2)
+    R1 = U @ W @ VT
+    R2 = U @ jnp.swapaxes(W, -1, -2) @ VT
+    t = U[..., :, 2]
+    t = t / safe_norm(t, axis=-1, keepdims=True)
+    Rs = jnp.stack([R1, R1, R2, R2], axis=-3)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)
+    return Rs, ts
+
+
+def cheirality_scores(Rs, ts, x0, x1, w=None):
+    """Weighted count of points with positive depth in both views per candidate.
+
+    Args:
+        Rs: (..., C, 3, 3), ts: (..., C, 3); x0, x1: (..., N, 2) normalized coords;
+        w: optional (..., N) weights.
+    Returns:
+        (..., C) scores (higher is better).
+    """
+    if w is None:
+        w = jnp.ones(x0.shape[:-1], dtype=x0.dtype)
+    eyeP = jnp.concatenate(
+        [jnp.eye(3, dtype=x0.dtype), jnp.zeros((3, 1), dtype=x0.dtype)], axis=-1
+    )
+    P0 = jnp.broadcast_to(eyeP, Rs.shape[:-2] + (3, 4))
+    P1 = jnp.concatenate([Rs, ts[..., None]], axis=-1)
+    x0c = jnp.broadcast_to(x0[..., None, :, :], Rs.shape[:-2] + x0.shape[-2:])
+    x1c = jnp.broadcast_to(x1[..., None, :, :], Rs.shape[:-2] + x1.shape[-2:])
+    X = triangulate_points(P0, P1, x0c, x1c)  # (..., C, N, 3)
+    d0 = X[..., 2]
+    d1 = depth_from_point(Rs, ts, X)
+    pos = jnp.logical_and(d0 > 0.0, d1 > 0.0).astype(x0.dtype)
+    return jnp.sum(pos * w[..., None, :], axis=-1)
