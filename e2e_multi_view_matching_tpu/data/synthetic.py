@@ -1,0 +1,168 @@
+"""Synthetic multi-view scenes with exact analytic depth (host-side numpy).
+
+The reference has no unit-test fixtures at all (SURVEY.md section 4); its C++
+tests synthesize camera rigs with known ground truth. We generalize that pattern:
+a textured 3D plane observed by V perturbed cameras gives exact depth maps
+(ray-plane intersection in closed form), exact poses, and exact correspondences --
+the oracle for GT-match generation, pose estimation, BA, and end-to-end training
+tests. Also materializes ScanNet-format directory trees for the data-pipeline and
+CLI tests.
+"""
+
+import os
+
+import numpy as np
+
+
+def _rotation_from_axis_angle(w):
+    theta = np.linalg.norm(w)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = w / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+class PlaneScene:
+    """A tilted plane in world space, viewed by V cameras near the origin.
+
+    Attributes:
+        poses: (V, 4, 4) cam->world transforms (the reference's pose convention,
+            `/root/reference/datasets/scannet.py:23`).
+        intr: (V, 3, 3) shared pinhole intrinsics.
+        H, W: image size.
+    """
+
+    def __init__(self, rng, n_views=2, H=120, W=160, f=140.0, plane_z=5.0,
+                 tilt=0.15, baseline=0.5, rot_jitter=0.08):
+        self.H, self.W = H, W
+        self.intr = np.tile(
+            np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1]], np.float64), (n_views, 1, 1)
+        )
+        # plane: n . X = c in world coords, mostly fronto-parallel
+        n = np.array([tilt * rng.normal(), tilt * rng.normal(), 1.0])
+        self.plane_n = n / np.linalg.norm(n)
+        self.plane_c = self.plane_n @ np.array([0.0, 0.0, plane_z])
+        poses = []
+        for v in range(n_views):
+            R = _rotation_from_axis_angle(rng.normal(size=3) * rot_jitter)
+            t = rng.normal(size=3) * baseline * np.array([1.0, 1.0, 0.3])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            poses.append(T)
+        self.poses = np.stack(poses)  # cam -> world
+
+    def depth_map(self, v):
+        """Exact (H, W) depth of the plane in view v (0 where the ray misses)."""
+        H, W = self.H, self.W
+        Kinv = np.linalg.inv(self.intr[v])
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        rays_cam = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T  # (H, W, 3)
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        rays_w = rays_cam @ R.T
+        denom = rays_w @ self.plane_n
+        num = self.plane_c - c @ self.plane_n
+        depth = np.where(np.abs(denom) > 1e-9, num / np.where(np.abs(denom) > 1e-9, denom, 1.0), 0.0)
+        return np.clip(depth, 0.0, None).astype(np.float32)
+
+    def depth_at(self, v, pix):
+        """Exact depth at (N, 2) float pixel coords in view v."""
+        Kinv = np.linalg.inv(self.intr[v])
+        rays_cam = np.concatenate([pix, np.ones((len(pix), 1))], -1) @ Kinv.T
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        rays_w = rays_cam @ R.T
+        denom = rays_w @ self.plane_n
+        num = self.plane_c - c @ self.plane_n
+        return np.where(np.abs(denom) > 1e-9, num / np.where(np.abs(denom) > 1e-9, denom, 1.0), 0.0)
+
+    def unproject(self, v, pix):
+        """(N, 2) pixels in view v -> (N, 3) world points on the plane."""
+        d = self.depth_at(v, pix)
+        Kinv = np.linalg.inv(self.intr[v])
+        pts_cam = (np.concatenate([pix, np.ones((len(pix), 1))], -1) @ Kinv.T) * d[:, None]
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        return pts_cam @ R.T + c
+
+    def project(self, v, X):
+        """(N, 3) world points -> ((N, 2) pixels, (N,) depth) in view v."""
+        T_w2c = np.linalg.inv(self.poses[v])
+        Xc = X @ T_w2c[:3, :3].T + T_w2c[:3, 3]
+        p = Xc @ self.intr[v].T
+        return p[:, :2] / p[:, 2:3], Xc[:, 2]
+
+    def correspondences(self, v0, v1, n_pts, rng, margin=10):
+        """Exact corresponding pixel pairs visible in both views."""
+        pix0 = rng.uniform(
+            [margin, margin], [self.W - margin, self.H - margin], size=(n_pts * 4, 2)
+        )
+        X = self.unproject(v0, pix0)
+        pix1, d1 = self.project(v1, X)
+        ok = (
+            (d1 > 0.1)
+            & (pix1[:, 0] > margin) & (pix1[:, 0] < self.W - margin)
+            & (pix1[:, 1] > margin) & (pix1[:, 1] < self.H - margin)
+        )
+        pix0, pix1 = pix0[ok][:n_pts], pix1[ok][:n_pts]
+        return pix0.astype(np.float32), pix1.astype(np.float32)
+
+    def relative_pose(self, v0, v1):
+        """T_0to1 = inv(pose1) @ pose0 (the reference's GT convention)."""
+        return (np.linalg.inv(self.poses[v1]) @ self.poses[v0]).astype(np.float32)
+
+
+def checkerboard_image(scene, v, cell_world=0.4):
+    """Render a grayscale checkerboard texture on the plane for view v (H, W) in [0,1].
+
+    Gives SuperPoint-like detectors real corners to find in end-to-end tests.
+    """
+    H, W = scene.H, scene.W
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    pix = np.stack([xs.ravel(), ys.ravel()], -1)
+    Xw = scene.unproject(v, pix)
+    u = np.floor(Xw[:, 0] / cell_world).astype(int)
+    w = np.floor(Xw[:, 1] / cell_world).astype(int)
+    img = ((u + w) % 2).astype(np.float32) * 0.8 + 0.1
+    return img.reshape(H, W)
+
+
+def write_scannet_format(scene, root, scene_name="scene0000_00", split="train",
+                         dataset="scannet", image_fn=checkerboard_image,
+                         overlap_all=True):
+    """Materialize a ScanNet-format directory tree for the data-pipeline tests.
+
+    Layout consumed by `/root/reference/datasets/scannet.py:9-42` and the tuple
+    sampler: `<root>/<dataset>/scans/<scene>/{intrinsic,pose,depth,color}` plus
+    `<root>/<dataset>/overlap/scans/<scene>.json` and `<root>/<dataset>/*_{split}.txt`.
+    """
+    import json
+
+    import cv2
+
+    ds_dir = os.path.join(root, dataset)
+    scans = "scans_test" if split == "test" else "scans"
+    sdir = os.path.join(ds_dir, scans, scene_name)
+    for sub in ("intrinsic", "pose", "depth", "color"):
+        os.makedirs(os.path.join(sdir, sub), exist_ok=True)
+    intr4 = np.eye(4)
+    intr4[:3, :3] = scene.intr[0]
+    np.savetxt(os.path.join(sdir, "intrinsic", "intrinsic_color.txt"), intr4, delimiter=" ")
+    n_views = len(scene.poses)
+    for v in range(n_views):
+        np.savetxt(os.path.join(sdir, "pose", f"{v}.txt"), scene.poses[v], delimiter=" ")
+        depth_mm = (scene.depth_map(v) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(sdir, "depth", f"{v}.png"), depth_mm)
+        img = (image_fn(scene, v) * 255.0).astype(np.uint8)
+        cv2.imwrite(os.path.join(sdir, "color", f"{v}.jpg"), cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+    with open(os.path.join(ds_dir, f"scannetv2_{split}.txt"), "a") as f:
+        f.write(scene_name + "\n")
+    overlap_dir = os.path.join(ds_dir, "overlap", scans)
+    os.makedirs(overlap_dir, exist_ok=True)
+    if overlap_all:
+        cands = {str(v): [int(u) for u in range(n_views) if u != v] for v in range(n_views)}
+    with open(os.path.join(overlap_dir, scene_name + ".json"), "w") as f:
+        json.dump(cands, f)
+    return ds_dir

@@ -1,0 +1,194 @@
+"""SuperPoint keypoint detector + descriptor, TPU-native.
+
+Architecture follows the public magicleap SuperPointPretrainedNetwork design the
+reference consumes as a frozen submodule (interface contract: SURVEY.md section
+2.4, call sites `/root/reference/helpers.py:83-96`, `/root/reference/train.py:335-341`):
+shared VGG encoder, a 65-channel detector head (8x8 cells + dustbin), and a
+256-d descriptor head sampled bilinearly at keypoint locations.
+
+TPU-first differences from the torch original:
+- NHWC layout; all convs run on the MXU.
+- Static output shapes: `max_keypoints` slots per image, always. Sub-threshold
+  slots are filled with random keypoint positions at zero score when
+  `fill_with_random_keypoints` is on (training contract) or clamped to zero
+  score otherwise; downstream code masks on `scores > 0`.
+- NMS is the upstream iterative max-pool suppression (2 rounds) expressed with
+  `lax` ops; top-K selection is `jax.lax.top_k` over the flattened heatmap.
+"""
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SuperPointConfig:
+    """Mirrors the reference's SuperPoint config keys (`train.py:335-341`)."""
+
+    nms_radius: int = 4
+    keypoint_threshold: float = 0.001
+    max_keypoints: int = 400
+    remove_borders: int = 4
+    fill_with_random_keypoints: bool = True
+    descriptor_dim: int = 256
+
+
+class SuperPointNet(nn.Module):
+    """The convolutional trunk: image (B, H, W, 1) -> (heatmap logits, descriptors)."""
+
+    descriptor_dim: int = 256
+
+    @nn.compact
+    def __call__(self, image):
+        c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        relu = nn.relu
+        pool = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = relu(nn.Conv(c1, (3, 3), name="conv1a")(image))
+        x = relu(nn.Conv(c1, (3, 3), name="conv1b")(x))
+        x = pool(x)
+        x = relu(nn.Conv(c2, (3, 3), name="conv2a")(x))
+        x = relu(nn.Conv(c2, (3, 3), name="conv2b")(x))
+        x = pool(x)
+        x = relu(nn.Conv(c3, (3, 3), name="conv3a")(x))
+        x = relu(nn.Conv(c3, (3, 3), name="conv3b")(x))
+        x = pool(x)
+        x = relu(nn.Conv(c4, (3, 3), name="conv4a")(x))
+        x = relu(nn.Conv(c4, (3, 3), name="conv4b")(x))
+
+        cPa = relu(nn.Conv(c5, (3, 3), name="convPa")(x))
+        heat = nn.Conv(65, (1, 1), name="convPb")(cPa)  # (B, H/8, W/8, 65)
+
+        cDa = relu(nn.Conv(c5, (3, 3), name="convDa")(x))
+        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(cDa)
+        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+        return heat, desc
+
+
+def simple_nms(scores, radius, n_iters=2):
+    """Iterative max-pool non-maximum suppression (upstream `simple_nms` semantics).
+
+    Args:
+        scores: (B, H, W); radius: suppression radius.
+    Returns:
+        (B, H, W) with non-maxima zeroed.
+    """
+    size = 2 * radius + 1
+
+    def maxpool(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, size, size), (1, 1, 1), "SAME"
+        )
+
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == maxpool(scores)
+    for _ in range(n_iters):
+        supp_mask = maxpool(max_mask.astype(scores.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == maxpool(supp_scores)
+        max_mask = jnp.logical_or(max_mask, jnp.logical_and(new_max_mask, ~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+class SuperPoint(nn.Module):
+    """Full detector: image batch -> fixed-K keypoints, scores, descriptors.
+
+    Output contract (demuxed by the reference at `helpers.py:88-96`):
+        keypoints: (B, K, 2) float xy pixels; scores: (B, K); descriptors:
+        (B, K, D). Slots beyond the detected count have score 0 (and random
+        positions when `fill_with_random_keypoints`).
+    """
+
+    config: SuperPointConfig = SuperPointConfig()
+
+    @nn.compact
+    def __call__(self, image, *, rng=None):
+        cfg = self.config
+        B, H, W, _ = image.shape
+        heat, desc_map = SuperPointNet(cfg.descriptor_dim, name="net")(image)
+
+        # 65-way softmax per 8x8 cell, drop dustbin, unshuffle to full resolution.
+        probs = jax.nn.softmax(heat, axis=-1)[..., :64]
+        Hc, Wc = probs.shape[1], probs.shape[2]
+        scores = probs.reshape(B, Hc, Wc, 8, 8)
+        scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+        scores = simple_nms(scores, cfg.nms_radius)
+
+        # Border removal mask (`remove_borders` config key).
+        b = cfg.remove_borders
+        if b > 0:
+            ys = jnp.arange(Hc * 8)
+            xs = jnp.arange(Wc * 8)
+            border = (
+                (ys[:, None] >= b)
+                & (ys[:, None] < H - b)
+                & (xs[None, :] >= b)
+                & (xs[None, :] < W - b)
+            )
+            scores = scores * border[None]
+
+        flat = scores.reshape(B, -1)
+        K = cfg.max_keypoints
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        ys = (top_idx // (Wc * 8)).astype(jnp.float32)
+        xs = (top_idx % (Wc * 8)).astype(jnp.float32)
+        kpts = jnp.stack([xs, ys], axis=-1)  # (B, K, 2) xy
+
+        valid = top_scores > cfg.keypoint_threshold
+        if cfg.fill_with_random_keypoints:
+            if rng is None:
+                rng = self.make_rng("keypoints")
+            rx = jax.random.uniform(rng, (B, K), minval=float(b), maxval=float(W - 1 - b))
+            rkey = jax.random.split(rng, 2)[1]
+            ry = jax.random.uniform(rkey, (B, K), minval=float(b), maxval=float(H - 1 - b))
+            rand_kpts = jnp.stack([rx, ry], axis=-1)
+            kpts = jnp.where(valid[..., None], kpts, rand_kpts)
+        top_scores = jnp.where(valid, top_scores, 0.0)
+
+        descs = sample_descriptors(kpts, desc_map)
+        return {"keypoints": kpts, "scores": top_scores, "descriptors": descs}
+
+
+def sample_descriptors(kpts, desc_map, cell=8):
+    """Bilinearly sample L2-normalized descriptors at keypoint pixel locations.
+
+    Args:
+        kpts: (B, K, 2) xy pixels; desc_map: (B, Hc, Wc, D) coarse descriptors.
+    Returns:
+        (B, K, D) unit descriptors.
+    """
+    B, Hc, Wc, D = desc_map.shape
+    # Map pixel coords to coarse-grid coords (upstream convention: centers of
+    # 8x8 cells; pixel p maps to (p - cell/2 + 0.5) / cell).
+    gx = (kpts[..., 0] - cell / 2 + 0.5) / cell
+    gy = (kpts[..., 1] - cell / 2 + 0.5) / cell
+    gx = jnp.clip(gx, 0.0, Wc - 1.0)
+    gy = jnp.clip(gy, 0.0, Hc - 1.0)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, Wc - 1)
+    y1 = jnp.minimum(y0 + 1, Hc - 1)
+    wx = gx - x0
+    wy = gy - y0
+
+    def gather(yi, xi):
+        # (B, K) indices -> (B, K, D)
+        flat = desc_map.reshape(B, Hc * Wc, D)
+        idx = yi * Wc + xi
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    d00 = gather(y0, x0)
+    d01 = gather(y0, x1)
+    d10 = gather(y1, x0)
+    d11 = gather(y1, x1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    d = (
+        d00 * (1 - wx) * (1 - wy)
+        + d01 * wx * (1 - wy)
+        + d10 * (1 - wx) * wy
+        + d11 * wx * wy
+    )
+    return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)

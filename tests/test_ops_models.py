@@ -1,0 +1,192 @@
+"""Tests for Sinkhorn/attention ops and SuperPoint/MultiViewMatcher models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_multi_view_matching_tpu.ops.sinkhorn import (
+    extract_matches,
+    log_optimal_transport,
+)
+from e2e_multi_view_matching_tpu.ops.attention import (
+    cross_view_mask,
+    multi_head_attention,
+)
+from e2e_multi_view_matching_tpu.models.superpoint import (
+    SuperPoint,
+    SuperPointConfig,
+    simple_nms,
+)
+from e2e_multi_view_matching_tpu.models.matcher import (
+    MatcherConfig,
+    MultiViewMatcher,
+    default_gnn_layers,
+    result_to_reference_keys,
+)
+
+
+class TestSinkhorn:
+    def test_marginals(self, rng):
+        scores = jnp.asarray(rng.normal(size=(2, 12, 10)).astype(np.float32))
+        Z = log_optimal_transport(scores, 1.0, 50)
+        P = np.exp(np.asarray(Z))
+        # each non-dustbin row/col sums to 1 (after the M+N rescale)
+        np.testing.assert_allclose(P[:, :-1, :].sum(-1), 1.0, atol=1e-3)
+        np.testing.assert_allclose(P[:, :, :-1].sum(-2), 1.0, atol=1e-3)
+        # dustbin row absorbs N, dustbin col absorbs M
+        np.testing.assert_allclose(P[:, -1, :].sum(-1), 10.0, atol=1e-2)
+        np.testing.assert_allclose(P[:, :, -1].sum(-1), 12.0, atol=1e-2)
+
+    def test_strong_diagonal_matches(self, rng):
+        K = 8
+        scores = jnp.asarray((np.eye(K) * 10.0 - 5.0)[None].astype(np.float32))
+        Z = log_optimal_transport(scores, 1.0, 50)
+        m0, m1, ms0 = extract_matches(Z, match_threshold=0.2)
+        np.testing.assert_array_equal(np.asarray(m0)[0], np.arange(K))
+        np.testing.assert_array_equal(np.asarray(m1)[0], np.arange(K))
+        assert np.asarray(ms0).min() > 0.5
+
+    def test_no_matches_below_threshold(self, rng):
+        scores = jnp.zeros((1, 6, 6)) - 5.0
+        Z = log_optimal_transport(scores, 5.0, 50)
+        m0, _, _ = extract_matches(Z, match_threshold=0.5)
+        assert np.all(np.asarray(m0) == -1)
+
+    def test_grads_finite(self, rng):
+        scores = jnp.asarray(rng.normal(size=(1, 8, 8)).astype(np.float32))
+
+        def loss(s):
+            Z = log_optimal_transport(s, 1.0, 30)
+            return -jnp.mean(jnp.diagonal(Z[0, :-1, :-1]))
+
+        g = jax.grad(loss)(scores)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestAttention:
+    def test_identity_value_passthrough(self, rng):
+        # with one head and identical single key, output equals value
+        q = jnp.asarray(rng.normal(size=(2, 3, 8)).astype(np.float32))
+        k = jnp.ones((2, 1, 8))
+        v = jnp.asarray(rng.normal(size=(2, 1, 8)).astype(np.float32))
+        out = multi_head_attention(q, k, v, num_heads=2)
+        np.testing.assert_allclose(np.asarray(out), np.broadcast_to(np.asarray(v), (2, 3, 8)), atol=1e-5)
+
+    def test_mask_blocks_views(self):
+        m = np.asarray(cross_view_mask(3, 4))
+        assert m.shape == (12, 12)
+        assert not m[:4, :4].any() and m[:4, 4:].all()
+
+    def test_masked_attention_ignores_masked_keys(self, rng):
+        q = jnp.asarray(rng.normal(size=(1, 2, 4)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 3, 4)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 3, 4)).astype(np.float32))
+        mask = jnp.asarray([[True, False, False], [True, False, False]])
+        out = multi_head_attention(q, k, v, 1, mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.broadcast_to(np.asarray(v[:, :1]), (1, 2, 4)), atol=1e-5
+        )
+
+
+class TestSuperPoint:
+    def test_forward_static_shapes(self, rng):
+        cfg = SuperPointConfig(max_keypoints=64, remove_borders=8, fill_with_random_keypoints=True)
+        model = SuperPoint(cfg)
+        img = jnp.asarray(rng.uniform(size=(2, 64, 80, 1)).astype(np.float32))
+        params = model.init({"params": jax.random.PRNGKey(0), "keypoints": jax.random.PRNGKey(1)}, img)
+        out = model.apply(params, img, rngs={"keypoints": jax.random.PRNGKey(2)})
+        assert out["keypoints"].shape == (2, 64, 2)
+        assert out["scores"].shape == (2, 64)
+        assert out["descriptors"].shape == (2, 64, 256)
+        k = np.asarray(out["keypoints"])
+        assert k[..., 0].min() >= 0 and k[..., 0].max() < 80
+        assert k[..., 1].min() >= 0 and k[..., 1].max() < 64
+        d = np.asarray(out["descriptors"])
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+
+    def test_border_removal(self, rng):
+        cfg = SuperPointConfig(max_keypoints=32, remove_borders=12, keypoint_threshold=1e-9,
+                               fill_with_random_keypoints=False)
+        model = SuperPoint(cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 64, 64, 1)).astype(np.float32))
+        params = model.init({"params": jax.random.PRNGKey(0)}, img)
+        out = model.apply(params, img)
+        k = np.asarray(out["keypoints"])
+        s = np.asarray(out["scores"])
+        valid = s[0] > 0
+        if valid.any():
+            assert k[0][valid][:, 0].min() >= 12 and k[0][valid][:, 0].max() < 52
+            assert k[0][valid][:, 1].min() >= 12 and k[0][valid][:, 1].max() < 52
+
+    def test_simple_nms_suppresses(self):
+        s = np.zeros((1, 16, 16), np.float32)
+        s[0, 5, 5] = 1.0
+        s[0, 5, 7] = 0.5  # within radius 4 of the stronger peak
+        out = np.asarray(simple_nms(jnp.asarray(s), 4))
+        assert out[0, 5, 5] == 1.0
+        assert out[0, 5, 7] == 0.0
+
+
+class TestMatcher:
+    def _run(self, V, conf_mlp=False, full_output=True, train=False):
+        rng = np.random.default_rng(0)
+        B, K, D = 2, 16, 256
+        cfg = MatcherConfig(
+            gnn_layers=default_gnn_layers(2, 1),
+            sinkhorn_iterations=20,
+            conf_mlp=conf_mlp,
+            multi_frame_matching=V > 2,
+        )
+        model = MultiViewMatcher(cfg)
+        kpts = jnp.asarray(rng.uniform(0, 64, size=(B, V, K, 2)).astype(np.float32))
+        scores = jnp.asarray(rng.uniform(size=(B, V, K)).astype(np.float32))
+        descs = jnp.asarray(rng.normal(size=(B, V, K, D)).astype(np.float32))
+        descs = descs / jnp.linalg.norm(descs, axis=-1, keepdims=True)
+        image_size = jnp.full((B, V, 2), 64.0)
+        variables = model.init(jax.random.PRNGKey(0), kpts, scores, descs, image_size)
+        if train:
+            out, updates = model.apply(
+                variables, kpts, scores, descs, image_size, train=True,
+                full_output=full_output, mutable=["batch_stats"],
+            )
+            return out, variables, updates
+        out = model.apply(variables, kpts, scores, descs, image_size, full_output=full_output)
+        return out, variables, None
+
+    def test_two_view_shapes(self):
+        out, _, _ = self._run(V=2, conf_mlp=True)
+        assert out["log_assignment"].shape == (2, 1, 17, 17)
+        assert out["matches0"].shape == (2, 1, 16)
+        assert out["conf_scores"].shape == (2, 1, 16)
+        c = np.asarray(out["conf_scores"])
+        assert (c >= 0).all() and (c <= 1).all()
+
+    def test_five_view_pair_count(self):
+        out, _, _ = self._run(V=5)
+        assert out["log_assignment"].shape[1] == 10
+        np.testing.assert_array_equal(
+            np.asarray(out["pairs"]),
+            [(i, j) for j in range(5) for i in range(j)],
+        )
+
+    def test_full_output_false_skips_matches(self):
+        out, _, _ = self._run(V=2, full_output=False)
+        assert "matches0" not in out and "conf_scores" not in out
+
+    def test_train_mode_updates_batch_stats(self):
+        out, variables, updates = self._run(V=2, train=True)
+        assert "batch_stats" in updates
+
+    def test_reference_key_shim(self):
+        out, _, _ = self._run(V=3, conf_mlp=True)
+        ref = result_to_reference_keys(out, 3)
+        assert set(k for k in ref if k.startswith("scores_")) == {
+            "scores_0_1", "scores_0_2", "scores_1_2"
+        }
+        assert ref["matches0_0_1"].shape == (2, 16)
+        assert ref["conf_scores_0_1"].shape == (2, 16, 1)
+
+    def test_log_assignment_is_valid_distribution(self):
+        out, _, _ = self._run(V=2)
+        P = np.exp(np.asarray(out["log_assignment"][0, 0]))
+        np.testing.assert_allclose(P[:-1].sum(-1), 1.0, atol=1e-2)
