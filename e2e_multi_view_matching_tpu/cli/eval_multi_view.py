@@ -1,0 +1,183 @@
+"""Multi-view 5-tuple benchmark driver.
+
+Mirrors `/root/reference/eval_multi_view.py`: fixed test tuples -> SuperPoint ->
+multi-view matcher -> in-process rotation/translation averaging + Schur BA
+(no subprocesses, no CSV IPC) -> pairwise pose/rot/transl AUC@5/10/20 -> JSON.
+"""
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset
+from e2e_multi_view_matching_tpu.geom.metrics import pose_auc
+from e2e_multi_view_matching_tpu.models.matcher import (
+    MatcherConfig,
+    MultiViewMatcher,
+    default_gnn_layers,
+)
+from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPointConfig
+from e2e_multi_view_matching_tpu.mvba.pipeline import (
+    MultiViewPipelineConfig,
+    multi_view_pose_pipeline,
+)
+from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint, load_config
+from e2e_multi_view_matching_tpu.train.step import TrainState
+from e2e_multi_view_matching_tpu.utils.config import add_generic_arguments, get_exp_dir
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+log = logging.getLogger("eval_multi_view")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluate multi-view",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser = add_generic_arguments(parser)
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--test_tuple_file", type=str, default=None,
+                        help="CSV of fixed test tuples; defaults to assets/")
+    parser.add_argument("--max_tuples", type=int, default=None)
+    parser.add_argument("--sinkhorn_iterations", type=int, default=100)
+    return parser.parse_args(argv)
+
+
+def write_result(pose_errors, file):
+    """AUC table + JSON output (`eval_multi_view.py:70-87`)."""
+    thresholds = [5, 10, 20]
+    aucs = pose_auc(pose_errors[0], thresholds)
+    t_aucs = pose_auc(pose_errors[1], thresholds)
+    r_aucs = pose_auc(pose_errors[2], thresholds)
+    metrics = {}
+    for t, a, ta, ra in zip(thresholds, aucs, t_aucs, r_aucs):
+        metrics[f"pose_AUC@{t}deg"] = a * 100.0
+        metrics[f"transl_AUC@{t}deg"] = ta * 100.0
+        metrics[f"rot_AUC@{t}deg"] = ra * 100.0
+    for k, v in metrics.items():
+        log.info("%s: %6.3f%%", k, v)
+    with open(file, "w") as f:
+        json.dump(metrics, f, indent=4)
+    return metrics
+
+
+def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
+             pipeline_cfg=MultiViewPipelineConfig()):
+    """Run the benchmark loop; returns (pose, transl, rot) error lists."""
+    pose_errors = ([], [], [])
+    V = opt.tuple_size
+
+    @jax.jit
+    def infer(sp_vars, m_vars, images, image_size, rng):
+        sp_out = superpoint.apply(sp_vars, images, rngs={"keypoints": rng})
+        kpts = sp_out["keypoints"][None]
+        scores = sp_out["scores"][None]
+        descs = sp_out["descriptors"][None]
+        out = matcher.apply(m_vars, kpts, scores, descs, image_size)
+        return kpts[0], out["matches0"][0], out["conf_scores"][0]
+
+    rng = jax.random.PRNGKey(0)
+    n = len(dataset) if opt.max_tuples is None else min(opt.max_tuples, len(dataset))
+    for idx in range(n):
+        sample = dataset[idx]
+        images = jnp.asarray(sample["images"])
+        H, W = images.shape[1:3]
+        image_size = jnp.full((1, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
+        rng, key = jax.random.split(rng)
+        kpts, matches0, conf = infer(sp_vars, m_vars, images, image_size, key)
+        extr = multi_view_pose_pipeline(
+            kpts, sample["intr"][:, :3, :3], matches0, conf, pipeline_cfg
+        )
+        for j in range(V):
+            for i in range(j):
+                pose0, pose1 = sample["poses"][i], sample["poses"][j]
+                T_gt = np.linalg.inv(pose1) @ pose0
+                T_pred = extr[j] @ np.linalg.inv(extr[i])
+                cos_r = np.clip((np.trace(T_gt[:3, :3].T @ T_pred[:3, :3]) - 1) / 2, -1, 1)
+                err_R = np.degrees(np.arccos(cos_r))
+                nrm = np.linalg.norm(T_gt[:3, 3]) * np.linalg.norm(T_pred[:3, 3])
+                if nrm > 1e-9:
+                    err_t = np.degrees(np.arccos(np.clip(
+                        T_gt[:3, 3] @ T_pred[:3, 3] / nrm, -1, 1)))
+                else:
+                    err_t = 0.0
+                pose_errors[0].append(max(err_t, err_R))
+                pose_errors[1].append(err_t)
+                pose_errors[2].append(err_R)
+        log.info("tuple %d/%d done", idx + 1, n)
+    return pose_errors
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    exp_dir, _ = get_exp_dir(opt.checkpoint_dir, opt.exp_name)
+    train_cfg = load_config(exp_dir)
+    # inherit superpoint/GNN params from the training config (`eval_multi_view.py:120-129`)
+    opt.remove_borders = train_cfg["remove_borders"]
+    opt.nms_radius = train_cfg["nms_radius"]
+    opt.keypoint_threshold = train_cfg["keypoint_threshold"]
+    opt.cross_attention_layers = train_cfg["cross_attention_layers"]
+    opt.gnn_layers = train_cfg["gnn_layers"]
+    opt.max_keypoints = 2048 if "megadepth" in opt.dataset else 1024  # `:114-117`
+
+    superpoint = SuperPoint(SuperPointConfig(
+        nms_radius=opt.nms_radius, keypoint_threshold=opt.keypoint_threshold,
+        max_keypoints=opt.max_keypoints, remove_borders=opt.remove_borders,
+        fill_with_random_keypoints=False,
+    ))
+    matcher = MultiViewMatcher(MatcherConfig(
+        gnn_layers=default_gnn_layers(opt.gnn_layers, opt.cross_attention_layers),
+        sinkhorn_iterations=opt.sinkhorn_iterations,
+        conf_mlp=True, multi_frame_matching=True,
+    ))
+
+    key = jax.random.PRNGKey(0)
+    V = opt.tuple_size
+    m_vars = matcher.init(
+        key, jnp.zeros((1, V, opt.max_keypoints, 2)), jnp.zeros((1, V, opt.max_keypoints)),
+        jnp.zeros((1, V, opt.max_keypoints, 256)), jnp.full((1, V, 2), 64.0),
+    )
+    import optax
+
+    state = TrainState(m_vars["params"], m_vars["batch_stats"],
+                       optax.identity().init(m_vars["params"]),
+                       jnp.zeros((), jnp.int32), jnp.zeros(()))
+    state, _, _, _ = load_checkpoint(exp_dir, state, model_id=None,
+                                     load_opt_state=False)
+    m_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    # SuperPoint weights: load from exp_dir/superpoint.ckpt if present (imported
+    # pretrained weights), else random (see models/torch_import.py).
+    sp_path = os.path.join(exp_dir, "superpoint.ckpt")
+    sample_key = {"params": key, "keypoints": key}
+    sp_vars = superpoint.init(sample_key, jnp.zeros((V, 64, 64, 1)))
+    if os.path.exists(sp_path):
+        from flax import serialization
+
+        with open(sp_path, "rb") as f:
+            sp_vars = serialization.from_bytes(sp_vars, f.read())
+
+    dataset_dir = os.path.join(opt.data_dir, opt.dataset)
+    test_dataset = MatchingTupleDataset(
+        dataset_dir, split="test", tuple_size=opt.tuple_size, shuffle_tuple=False,
+        n_samples=1,
+    )
+    tuple_file = opt.test_tuple_file or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets",
+        f"{opt.dataset.split('_')[0]}_test_5tuples.csv",
+    )
+    if os.path.exists(tuple_file):
+        test_dataset.read_sampled_tuples(tuple_file)
+    log.info("loaded %d test tuples", len(test_dataset))
+
+    pose_errors = evaluate(opt, superpoint, sp_vars, matcher, m_vars, test_dataset)
+    out_json = os.path.join(exp_dir, f"multi_view_{opt.dataset.split('_')[0]}.json")
+    return write_result(pose_errors, out_json)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Two-view 1500-pair benchmark driver.
+
+Mirrors `/root/reference/eval_pairs.py`: fixed pair lists -> SuperPoint ->
+two-view matcher (conf MLP) -> relative pose via one of four modes
+(`ransac`, `ransac_ba`, `w8pt`, `w8pt_ba`) -> pose AUC@5/10/20 -> JSON.
+
+The `ransac*` modes use OpenCV RANSAC on the host (the role of the reference's
+`models/utils.estimate_pose`); the `w8pt*` modes run the fully differentiable
+TPU path.
+"""
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_multi_view_matching_tpu.data.pairs import PairMatchingDataset
+from e2e_multi_view_matching_tpu.geom.eightpoint import estimate_relative_pose_w8pt
+from e2e_multi_view_matching_tpu.geom.metrics import pose_auc
+from e2e_multi_view_matching_tpu.models.matcher import (
+    MatcherConfig,
+    MultiViewMatcher,
+    default_gnn_layers,
+)
+from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPointConfig
+from e2e_multi_view_matching_tpu.pose.two_view_ba import bundle_adjust_two_view
+from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint
+from e2e_multi_view_matching_tpu.train.step import TrainState
+from e2e_multi_view_matching_tpu.utils.config import add_generic_arguments, get_exp_dir
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+log = logging.getLogger("eval_pairs")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluate image pairs",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser = add_generic_arguments(parser)
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--eval_mode", type=str, default="w8pt_ba",
+                        choices=["ransac", "ransac_ba", "w8pt", "w8pt_ba"])
+    parser.add_argument("--max_pairs", type=int, default=None)
+    parser.add_argument("--sinkhorn_iterations", type=int, default=100)
+    return parser.parse_args(argv)
+
+
+def estimate_pose_ransac(mkpts0, mkpts1, K0, K1, thresh=1.0):
+    """OpenCV essential-matrix RANSAC + recoverPose (upstream `estimate_pose`)."""
+    import cv2
+
+    if len(mkpts0) < 5:
+        return None
+    f_mean = np.mean([K0[0, 0], K1[1, 1], K0[0, 0], K1[1, 1]])
+    norm_thresh = thresh / f_mean
+    k0 = (mkpts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
+    k1 = (mkpts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
+    E, mask = cv2.findEssentialMat(
+        k0, k1, np.eye(3), threshold=norm_thresh, prob=0.99999, method=cv2.RANSAC
+    )
+    if E is None:
+        return None
+    best = None
+    for _E in np.split(E, len(E) / 3):
+        n, R, t, _ = cv2.recoverPose(_E, k0, k1, np.eye(3), 1e9, mask=mask)
+        if best is None or n > best[0]:
+            best = (n, R, t[:, 0], mask.ravel() > 0)
+    return best[1], best[2], best[3]
+
+
+def relative_pose_errors(T_gt, R, t):
+    cos_r = np.clip((np.trace(T_gt[:3, :3].T @ R) - 1) / 2, -1, 1)
+    err_R = np.degrees(np.arccos(cos_r))
+    n = np.linalg.norm(T_gt[:3, 3]) * np.linalg.norm(t)
+    err_t = (
+        np.degrees(np.arccos(np.clip(T_gt[:3, 3] @ t / n, -1, 1))) if n > 1e-9 else 0.0
+    )
+    return err_t, err_R
+
+
+def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
+    """Benchmark loop over pairs; returns pose error list + failure count."""
+    # conf threshold: ransac modes filter at 0.02, weighted modes use all
+    # (`eval_pairs.py:152`)
+    match_threshold = 0.02 if "ransac" in opt.eval_mode else 0.0
+    pose_errors = []
+    cannot_compute = 0
+
+    def infer(images0, images1, size0, size1):
+        """Two images (possibly different shapes) -> matcher outputs."""
+        sp0 = superpoint.apply(sp_vars, images0[None])
+        sp1 = superpoint.apply(sp_vars, images1[None])
+        kpts = jnp.stack([sp0["keypoints"][0], sp1["keypoints"][0]])[None]
+        scores = jnp.stack([sp0["scores"][0], sp1["scores"][0]])[None]
+        descs = jnp.stack([sp0["descriptors"][0], sp1["descriptors"][0]])[None]
+        image_size = jnp.asarray([[size0, size1]], dtype=jnp.float32)
+        out = matcher.apply(m_vars, kpts, scores, descs, image_size)
+        return (kpts[0], out["matches0"][0, 0], out["conf_scores"][0, 0])
+
+    n = len(dataset) if opt.max_pairs is None else min(opt.max_pairs, len(dataset))
+    for i in range(n):
+        data = dataset[i]
+        # different image shapes trigger per-shape recompiles (the reference's
+        # merge=False list path, `eval_pairs.py:210`); pad-to-bucket if needed.
+        kpts, matches, conf = infer(
+            jnp.asarray(data["image0"]), jnp.asarray(data["image1"]),
+            data["image0"].shape[:2], data["image1"].shape[:2],
+        )
+        kpts = np.asarray(kpts)
+        matches = np.asarray(matches)
+        conf = np.asarray(conf)
+        K0 = data["intr0"][:3, :3]
+        K1 = data["intr1"][:3, :3]
+        T_gt = data["T021"]
+
+        valid = matches >= 0
+        conf_mask = valid & (conf > match_threshold)
+        ret = None
+        if opt.eval_mode in ("ransac", "ransac_ba"):
+            mk0 = kpts[0][conf_mask]
+            mk1 = kpts[1][np.clip(matches, 0, len(kpts[1]) - 1)][conf_mask]
+            ret = estimate_pose_ransac(mk0, mk1, K0, K1)
+            if ret is not None and opt.eval_mode == "ransac_ba":
+                R, t, inliers = ret
+                T_init = np.eye(4, dtype=np.float32)
+                T_init[:3, :3] = R
+                T_init[:3, 3] = t
+                k0n = (mk0[inliers] - K0[[0, 1], [2, 2]]) / K0[[0, 1], [0, 1]]
+                k1n = (mk1[inliers] - K1[[0, 1], [2, 2]]) / K1[[0, 1], [0, 1]]
+                nI = int(inliers.sum())
+                cba = conf[conf_mask][inliers]
+                T_ref, ok = bundle_adjust_two_view(
+                    jnp.asarray(k0n[None].astype(np.float32)),
+                    jnp.asarray(k1n[None].astype(np.float32)),
+                    jnp.asarray(cba[None]), jnp.asarray(T_init[None]),
+                    n_iterations=10,
+                )
+                if bool(ok[0]):
+                    T_np = np.asarray(T_ref[0])
+                    ret = (T_np[:3, :3], T_np[:3, 3], inliers)
+        else:  # w8pt / w8pt_ba -- fully on-device
+            conf_w = np.where(conf_mask, conf, 0.0).astype(np.float32)
+            gather = np.clip(matches, 0, len(kpts[1]) - 1)
+            mk1 = kpts[1][gather]
+            T_w8, info = estimate_relative_pose_w8pt(
+                jnp.asarray(kpts[0][None]), jnp.asarray(mk1[None]),
+                jnp.asarray(K0[None]), jnp.asarray(K1[None]),
+                jnp.asarray(conf_w[None]), determine_inliers=True,
+            )
+            T_pred = T_w8
+            if bool(info.valid[0]):
+                if opt.eval_mode == "w8pt_ba":
+                    conf_ba = jnp.where(info.pos_depth_mask, info.confidence, 0.0)
+                    T_ba, ok = bundle_adjust_two_view(
+                        info.kpts0_norm, info.kpts1_norm, conf_ba, T_w8,
+                        n_iterations=10,
+                    )
+                    T_pred = jnp.where(ok[:, None, None], T_ba, T_w8)
+                T_np = np.asarray(T_pred[0])
+                ret = (T_np[:3, :3], T_np[:3, 3], None)
+
+        if ret is None:
+            err_t, err_R = np.inf, np.inf
+            cannot_compute += 1
+        else:
+            err_t, err_R = relative_pose_errors(T_gt, ret[0], ret[1])
+            log.info("%4d: rot %5.1f deg\tt %5.1f deg", i, err_R, err_t)
+        pose_errors.append(max(err_t, err_R))
+    return pose_errors, cannot_compute
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    source_dir = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    assets = os.path.join(source_dir, "assets")
+    # dataset-specific pair lists + superpoint params (`eval_pairs.py:155-180`)
+    if "megadepth" in opt.dataset:
+        d = os.path.join(assets, "megadepth_test_1500_scene_info")
+        input_files = [os.path.join(d, f) for f in (
+            "0015_0.1_0.3.npz", "0015_0.3_0.5.npz", "0022_0.1_0.3.npz",
+            "0022_0.3_0.5.npz", "0022_0.5_0.7.npz")]
+        opt.max_keypoints, opt.nms_radius, opt.keypoint_threshold = 2048, 3, 0.005
+        img_size, ds_key = 1600, "megadepth"
+    elif "yfcc100m" in opt.dataset:
+        input_files = [os.path.join(assets, "yfcc_test_pairs_with_gt.txt")]
+        opt.max_keypoints, opt.nms_radius, opt.keypoint_threshold = 2048, 3, 0.005
+        img_size, ds_key = 1600, "yfcc100m"
+    else:
+        d = os.path.join(assets, "scannet_test_1500")
+        input_files = [os.path.join(d, "test.npz")]
+        opt.max_keypoints, opt.nms_radius, opt.keypoint_threshold = 1024, 4, 0.001
+        img_size, ds_key = 720, "scannet"
+
+    exp_dir, _ = get_exp_dir(opt.checkpoint_dir, opt.exp_name)
+    superpoint = SuperPoint(SuperPointConfig(
+        nms_radius=opt.nms_radius, keypoint_threshold=opt.keypoint_threshold,
+        max_keypoints=opt.max_keypoints, remove_borders=0,
+        fill_with_random_keypoints=False,
+    ))
+    matcher = MultiViewMatcher(MatcherConfig(
+        gnn_layers=default_gnn_layers(9, 1), sinkhorn_iterations=opt.sinkhorn_iterations,
+        conf_mlp=True, multi_frame_matching=False,
+    ))
+    key = jax.random.PRNGKey(0)
+    m_vars = matcher.init(
+        key, jnp.zeros((1, 2, opt.max_keypoints, 2)), jnp.zeros((1, 2, opt.max_keypoints)),
+        jnp.zeros((1, 2, opt.max_keypoints, 256)), jnp.full((1, 2, 2), 64.0),
+    )
+    import optax
+
+    state = TrainState(m_vars["params"], m_vars["batch_stats"],
+                       optax.identity().init(m_vars["params"]),
+                       jnp.zeros((), jnp.int32), jnp.zeros(()))
+    state, _, _, _ = load_checkpoint(exp_dir, state, model_id=None, load_opt_state=False)
+    m_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    sp_vars = superpoint.init({"params": key, "keypoints": key}, jnp.zeros((1, 64, 64, 1)))
+    sp_path = os.path.join(exp_dir, "superpoint.ckpt")
+    if os.path.exists(sp_path):
+        from flax import serialization
+
+        with open(sp_path, "rb") as f:
+            sp_vars = serialization.from_bytes(sp_vars, f.read())
+
+    dataset_dir = os.path.join(opt.data_dir, opt.dataset)
+    dataset = PairMatchingDataset(dataset_dir, input_files, img_size, ds_key)
+    pose_errors, cannot = evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset)
+
+    aucs = pose_auc(pose_errors, [5, 10, 20])
+    result = {f"AUC@{t}deg": 100.0 * a for t, a in zip((5, 10, 20), aucs)}
+    for k, v in result.items():
+        log.info("%s: %.3f%%", k, v)
+    log.info("failed poses: %d", cannot)
+    out = os.path.join(exp_dir, f"two_view_{opt.eval_mode}_{opt.dataset}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=4)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Multi-camera confidence-weighted Schur-complement LM bundle adjustment.
+
+Fills the role of the reference's Ceres DENSE_SCHUR `bundle_adjuster`
+(`/root/reference/pose_optimization/multi_view/bundle_adjustment/problem/src/
+ba_problem.cpp:115-157`): residual w * (pi(R_c X + t_c) - obs), camera 0 pinned,
+all other cameras free 6-DoF, one 3D point per pairwise match observed in
+exactly two cameras (the observation structure `write_bundle_adjust_problem`
+emits, `bundle_adjust_io.py:193-259`).
+
+TPU-first design: the point block of the Hessian is block-diagonal 3x3 (every
+point has exactly two observations), so the Schur complement reduces the system
+to 6(N-1) unknowns (24 for the 5-tuple benchmark). Assembly is batched einsums
+plus scatter-adds into (N, N, 6, 6) camera blocks -- no sparse matrices, no
+Ceres, no process boundary. The reduced solve is eigenvalue-thresholded (the
+global scale gauge survives fixing camera 0: scaling every translation and
+point jointly is residual-invariant). Fixed shapes with weight masks; LM
+damping with best-iterate tracking as in `pose/two_view_ba.py`.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from e2e_multi_view_matching_tpu.geom.lie import hat, se3_exp
+from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh
+
+_Z_EPS = 1e-6
+
+
+def _proj_jac(T_c, X):
+    """Project world points through per-observation extrinsics.
+
+    Args:
+        T_c: (P, 4, 4) extrinsics gathered per observation; X: (P, 3).
+    Returns:
+        (pi (P, 2), Ap (P, 3), J_proj (P, 2, 3)).
+    """
+    Ap = jnp.einsum("pij,pj->pi", T_c[:, :3, :3], X) + T_c[:, :3, 3]
+    z = Ap[:, 2]
+    sign = jnp.where(z >= 0, 1.0, -1.0)
+    inv_z = 1.0 / (sign * jnp.maximum(jnp.abs(z), _Z_EPS))
+    pi = Ap[:, :2] * inv_z[:, None]
+    zeros = jnp.zeros_like(inv_z)
+    J = jnp.stack(
+        [
+            jnp.stack([inv_z, zeros, -Ap[:, 0] * inv_z * inv_z], axis=-1),
+            jnp.stack([zeros, inv_z, -Ap[:, 1] * inv_z * inv_z], axis=-1),
+        ],
+        axis=-2,
+    )
+    return pi, Ap, J
+
+
+def _triangulate_pairwise(extr, cam_a, cam_b, xa, xb):
+    """DLT-triangulate each point from its two observing cameras (world frame)."""
+    Pa = extr[cam_a][:, :3, :]  # (P, 3, 4)
+    Pb = extr[cam_b][:, :3, :]
+
+    def rows(Pm, x):
+        r0 = x[:, 0:1, None] * Pm[:, 2:3, :] - Pm[:, 0:1, :]
+        r1 = x[:, 1:2, None] * Pm[:, 2:3, :] - Pm[:, 1:2, :]
+        return jnp.concatenate([r0, r1], axis=1)  # (P, 2, 4)
+
+    A = jnp.concatenate([rows(Pa, xa), rows(Pb, xb)], axis=1)  # (P, 4, 4)
+    G = jnp.einsum("pij,pik->pjk", A, A)
+    _, V = safe_eigh(G)
+    h = V[..., :, 0]
+    wc = h[:, 3]
+    sign = jnp.where(wc >= 0, 1.0, -1.0)
+    return h[:, :3] / (sign * jnp.maximum(jnp.abs(wc), 1e-9))[:, None]
+
+
+@partial(jax.jit, static_argnames=("n_iterations", "retriangulate"))
+def bundle_adjust_multi_view(
+    extr_init,
+    X_init,
+    cam_a,
+    cam_b,
+    xa,
+    xb,
+    w,
+    n_iterations=20,
+    lm_init=0.1,
+    lm_increase=1.5,
+    lm_decrease=3.5,
+    retriangulate=False,
+):
+    """Refine N camera extrinsics + P pairwise-match points.
+
+    Args:
+        extr_init: (N, 4, 4) world->cam extrinsics; camera 0 is held fixed.
+        X_init: (P, 3) world points (pass anything when `retriangulate`).
+        cam_a, cam_b: (P,) int32 observing camera indices per point.
+        xa, xb: (P, 2) normalized observations in those cameras.
+        w: (P,) confidence weights; <= 0 disables the point entirely. The
+           reference normalizes observation confidences to sum to the
+           observation count (`bundle_adjust_io.py:56-60`); callers should do
+           the same for faithful weighting.
+    Returns:
+        (extr (N, 4, 4) best iterate, X (P, 3) final points).
+    """
+    N = extr_init.shape[0]
+    P = X_init.shape[0]
+    dtype = extr_init.dtype
+    wm = jnp.where(w > 0.0, w, 0.0)
+    free = N - 1
+
+    def residual_system(extr, X):
+        Ta = extr[cam_a]
+        Tb = extr[cam_b]
+        pia, Apa, Ja = _proj_jac(Ta, X)
+        pib, Apb, Jb = _proj_jac(Tb, X)
+        ra = wm[:, None] * (pia - xa)  # (P, 2)
+        rb = wm[:, None] * (pib - xb)
+        Ra = Ta[:, :3, :3]
+        Rb = Tb[:, :3, :3]
+        Jpa = wm[:, None, None] * jnp.einsum("pij,pjl->pil", Ja, Ra)  # (P, 2, 3)
+        Jpb = wm[:, None, None] * jnp.einsum("pij,pjl->pil", Jb, Rb)
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
+        Jca = wm[:, None, None] * jnp.einsum(
+            "pij,pjl->pil", Ja, jnp.concatenate([-hat(Apa), I3], axis=-1)
+        )  # (P, 2, 6)
+        Jcb = wm[:, None, None] * jnp.einsum(
+            "pij,pjl->pil", Jb, jnp.concatenate([-hat(Apb), I3], axis=-1)
+        )
+        # camera 0 is fixed: zero its Jacobian contributions
+        Jca = jnp.where((cam_a > 0)[:, None, None], Jca, 0.0)
+        Jcb = jnp.where((cam_b > 0)[:, None, None], Jcb, 0.0)
+        r_norm = jnp.sum(ra * ra) + jnp.sum(rb * rb)
+        return ra, rb, Jpa, Jpb, Jca, Jcb, r_norm
+
+    def lm_step(extr, X, damp):
+        ra, rb, Jpa, Jpb, Jca, Jcb, r_norm = residual_system(extr, X)
+        # per-camera diagonal blocks and gradients (scatter-add by camera id)
+        Hcc = jnp.zeros((N, 6, 6), dtype)
+        Hcc = Hcc.at[cam_a].add(jnp.einsum("pri,prj->pij", Jca, Jca))
+        Hcc = Hcc.at[cam_b].add(jnp.einsum("pri,prj->pij", Jcb, Jcb))
+        bc = jnp.zeros((N, 6), dtype)
+        bc = bc.at[cam_a].add(-jnp.einsum("pri,pr->pi", Jca, ra))
+        bc = bc.at[cam_b].add(-jnp.einsum("pri,pr->pi", Jcb, rb))
+        # point blocks
+        Hpp = jnp.einsum("pri,prj->pij", Jpa, Jpa) + jnp.einsum(
+            "pri,prj->pij", Jpb, Jpb
+        )  # (P, 3, 3)
+        bp = -(jnp.einsum("pri,pr->pi", Jpa, ra) + jnp.einsum("pri,pr->pi", Jpb, rb))
+        Hcpa = jnp.einsum("pri,prj->pij", Jca, Jpa)  # (P, 6, 3)
+        Hcpb = jnp.einsum("pri,prj->pij", Jcb, Jpb)
+
+        eye3 = jnp.eye(3, dtype=dtype)
+        eye6 = jnp.eye(6, dtype=dtype)
+        Hpp_d = Hpp + damp * (
+            eye3 * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-8)[..., None, :]
+        )
+        Hcc_d = Hcc + damp * (
+            eye6 * jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-8)[..., None, :]
+        )
+        # 3x3 point inverses via eigh (safe for disabled points where Hpp ~ 0)
+        lamp, Vp = safe_eigh(Hpp_d)
+        lamp_inv = jnp.where(lamp > 1e-12, 1.0 / jnp.maximum(lamp, 1e-12), 0.0)
+        Hpp_inv = jnp.einsum("pij,pj,pkj->pik", Vp, lamp_inv, Vp)
+
+        Ya = jnp.einsum("pij,pjl->pil", Hcpa, Hpp_inv)  # (P, 6, 3)
+        Yb = jnp.einsum("pij,pjl->pil", Hcpb, Hpp_inv)
+        # Schur blocks: S[c1, c2] -= Y_{c1} Hcp_{c2}^T for the cameras of each point
+        Sblocks = jnp.zeros((N, N, 6, 6), dtype)
+        Sblocks = Sblocks.at[cam_a, cam_a].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpa))
+        Sblocks = Sblocks.at[cam_a, cam_b].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpb))
+        Sblocks = Sblocks.at[cam_b, cam_a].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpa))
+        Sblocks = Sblocks.at[cam_b, cam_b].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpb))
+        Sblocks = Sblocks.at[jnp.arange(N), jnp.arange(N)].add(Hcc_d)
+        rhs_c = bc.at[cam_a].add(-jnp.einsum("pij,pj->pi", Ya, bp))
+        rhs_c = rhs_c.at[cam_b].add(-jnp.einsum("pij,pj->pi", Yb, bp))
+
+        S = Sblocks[1:, 1:].transpose(0, 2, 1, 3).reshape(free * 6, free * 6)
+        rhs = rhs_c[1:].reshape(free * 6)
+        lam, V = safe_eigh(S)
+        lam_max = jnp.maximum(lam[-1], 1e-12)
+        good = lam > 1e-5 * lam_max
+        inv_lam = jnp.where(good, 1.0 / jnp.where(good, lam, 1.0), 0.0)
+        delta_c = (V * inv_lam[None, :]) @ (V.T @ rhs)  # (free*6,)
+        delta_c = jnp.concatenate(
+            [jnp.zeros((1, 6), dtype), delta_c.reshape(free, 6)], axis=0
+        )  # (N, 6)
+        # back-substitute points: Hcp^T delta_c summed over the two cameras
+        HcpTdc = jnp.einsum("plj,pl->pj", Hcpa, delta_c[cam_a]) + jnp.einsum(
+            "plj,pl->pj", Hcpb, delta_c[cam_b]
+        )
+        delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - HcpTdc)
+        ok = jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p))
+        return delta_c, delta_p, r_norm, ok
+
+    def normalize_gauge(extr, X, scale_ref):
+        t_norm = jnp.mean(jnp.linalg.norm(extr[1:, :3, 3], axis=-1))
+        s = jnp.where(t_norm > 1e-9, scale_ref / jnp.maximum(t_norm, 1e-9), 1.0)
+        extr = extr.at[:, :3, 3].multiply(s)
+        return extr, X * s, s
+
+    scale_ref = jnp.mean(jnp.linalg.norm(extr_init[1:, :3, 3], axis=-1))
+
+    def body(i, carry):
+        extr, X, damp, best_extr, best_X, best_r = carry
+        if retriangulate:
+            X = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb)
+        delta_c, delta_p, r_norm, ok = lm_step(extr, X, damp)
+        improved = r_norm < best_r
+        best_extr = jnp.where(improved, extr, best_extr)
+        best_X = jnp.where(improved, X, best_X)
+        best_r = jnp.minimum(r_norm, best_r)
+        damp = jnp.where(improved, damp / lm_decrease, damp * lm_increase)
+        extr_new = jnp.where(ok, se3_exp(delta_c) @ extr, extr)
+        X_new = jnp.where(ok, X + delta_p, X)
+        extr_new, X_new, _ = normalize_gauge(extr_new, X_new, scale_ref)
+        return (extr_new, X_new, damp, best_extr, best_X, best_r)
+
+    damp0 = jnp.asarray(lm_init, dtype)
+    carry = (extr_init, X_init, damp0, extr_init, X_init, jnp.asarray(jnp.inf, dtype))
+    extr, X, damp, best_extr, best_X, best_r = jax.lax.fori_loop(
+        0, n_iterations, body, carry
+    )
+    if retriangulate:
+        X = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb)
+    r_final = residual_system(extr, X)[6]
+    improved = r_final < best_r
+    best_extr = jnp.where(improved, extr, best_extr)
+    best_X = jnp.where(improved, X, best_X)
+    return best_extr, best_X

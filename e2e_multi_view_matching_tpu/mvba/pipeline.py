@@ -1,0 +1,206 @@
+"""Multi-view pose estimation pipeline: matcher outputs -> absolute extrinsics.
+
+In-process replacement of `eval_bundle_adjust`
+(`/root/reference/eval_multi_view.py:21-68`) and its two C++ subprocess hops
+(`ba_initializer`, `bundle_adjuster` with CSV IPC). Stages:
+
+1. per-pair relative poses: confidence-weighted eight-point + two-view LM BA
+   (`initialize_bundle_adjust`'s `w8pt_ba` path, `bundle_adjust_io.py:12-23`),
+   one jitted batch over all C(V,2) pairs;
+2. maximum-spanning-tree chaining of relative poses into initial absolute poses
+   (host, tiny -- `bundle_adjust_io.py:135-172`);
+3. robust rotation averaging + translation averaging (JAX IRLS/eigen solvers,
+   replacing Theia);
+4. confidence-weighted multi-camera Schur LM bundle adjustment (replacing
+   Ceres DENSE_SCHUR), camera 0 fixed.
+
+Static shapes: every pair contributes exactly K match slots; invalid matches
+ride along with zero confidence.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2e_multi_view_matching_tpu.geom.eightpoint import estimate_relative_pose_w8pt
+from e2e_multi_view_matching_tpu.geom.epipolar import normalize_keypoints
+from e2e_multi_view_matching_tpu.mvba.bundle_adjust import (
+    _triangulate_pairwise,
+    bundle_adjust_multi_view,
+)
+from e2e_multi_view_matching_tpu.mvba.rotation_averaging import rotation_averaging
+from e2e_multi_view_matching_tpu.mvba.spanning_tree import spanning_tree_poses
+from e2e_multi_view_matching_tpu.mvba.translation_averaging import (
+    edge_directions,
+    translation_averaging,
+)
+from e2e_multi_view_matching_tpu.pose.two_view_ba import bundle_adjust_two_view
+
+
+@dataclass(frozen=True)
+class MultiViewPipelineConfig:
+    conf_thresh: float = 0.0  # `initialize_bundle_adjust(conf_thresh=0.)`
+    min_inliers: int = 20  # `bundle_adjust_io.py:63`
+    two_view_ba_iterations: int = 10  # `eval_multi_view` path uses 10
+    ba_iterations: int = 20
+    ba_retriangulate: bool = False
+
+
+def _pair_list(V):
+    return [(i, j) for j in range(V) for i in range(j)]
+
+
+@partial(jax.jit, static_argnames=("n_iterations", "n_irls"))
+def _pairwise_relative_poses(
+    kpts_i, kpts_j_matched, intr_i, intr_j, conf, n_iterations, n_irls=2
+):
+    """Robust w8pt + two-view BA for a batch of pairs.
+
+    Beyond the reference's single weighted pass (`bundle_adjust_io.py:12-23`),
+    the eight-point solve is re-run with epipolar-inlier-gated confidences
+    (IRLS-style): matcher confidences are soft, so a handful of confident-but-
+    wrong matches can swing the translation direction; one or two gated
+    re-estimates recover RANSAC-like robustness with fully static shapes.
+
+    Args:
+        kpts_i: (P, K, 2) keypoints of view i; kpts_j_matched: (P, K, 2) matched
+        coordinates in view j; intr_i, intr_j: (P, 3, 3); conf: (P, K) with 0
+        marking invalid matches.
+    Returns:
+        (T_rel (P, 4, 4), inlier_count (P,), valid (P,)).
+    """
+    conf_cur = conf
+    T_w8, info = estimate_relative_pose_w8pt(
+        kpts_i, kpts_j_matched, intr_i, intr_j, conf_cur, determine_inliers=True
+    )
+    for _ in range(n_irls):
+        gated = jnp.where(info.inliers, conf, 0.0)
+        # keep the previous weighting when gating would leave < 8 matches
+        enough = jnp.sum((gated > 0).astype(jnp.int32), axis=-1) >= 8
+        conf_cur = jnp.where(enough[:, None], gated, conf_cur)
+        T_w8, info = estimate_relative_pose_w8pt(
+            kpts_i, kpts_j_matched, intr_i, intr_j, conf_cur, determine_inliers=True
+        )
+    inlier_count = jnp.sum(info.inliers.astype(jnp.int32), axis=-1)
+    conf_gated = jnp.where(info.pos_depth_mask & info.inliers, conf, 0.0)
+    conf_ba = jnp.where(info.pos_depth_mask & info.inliers, info.confidence, 0.0)
+    T_ba, valid_ba = bundle_adjust_two_view(
+        info.kpts0_norm, info.kpts1_norm, conf_ba, T_w8, n_iterations=n_iterations
+    )
+    T_rel = jnp.where(valid_ba[:, None, None], T_ba, T_w8)
+    return T_rel, inlier_count, info.valid, conf_gated
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _global_stage(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j, w, cam_a, cam_b, cfg):
+    """Averaging + BA from tree-initialized extrinsics (single tuple).
+
+    Args:
+        extr_tree: (V, 4, 4); edges_*: (E,); T_rel: (E, 4, 4); edge_valid: (E,);
+        x_i, x_j: (P, 2) normalized observations; w: (P,); cam_a, cam_b: (P,).
+    """
+    R_avg = rotation_averaging(
+        extr_tree[:, :3, :3], edges_i, edges_j, T_rel[:, :3, :3], edge_valid
+    )
+    # centers from the tree init
+    c_tree = -jnp.einsum("vji,vj->vi", extr_tree[:, :3, :3], extr_tree[:, :3, 3])
+    gamma = edge_directions(R_avg[edges_i], T_rel[:, :3, :3], T_rel[:, :3, 3])
+    c_avg = translation_averaging(c_tree, edges_i, edges_j, gamma, edge_valid)
+    t_avg = -jnp.einsum("vij,vj->vi", R_avg, c_avg)
+    extr = jnp.zeros_like(extr_tree)
+    extr = extr.at[:, :3, :3].set(R_avg)
+    extr = extr.at[:, :3, 3].set(t_avg)
+    extr = extr.at[:, 3, 3].set(1.0)
+
+    # observation confidences normalized to total 2 (`bundle_adjust_io.py:56-60`)
+    w_sum = jnp.maximum(jnp.sum(w) * 2.0, 1e-6)  # 2 observations per match
+    w_n = w / (0.5 * w_sum) * 2.0  # == w * 2 / w_sum; total over 2P obs = 2
+    X0 = _triangulate_pairwise(extr, cam_a, cam_b, x_i, x_j)
+    extr_ba, _ = bundle_adjust_multi_view(
+        extr, X0, cam_a, cam_b, x_i, x_j, w_n,
+        n_iterations=cfg.ba_iterations, retriangulate=cfg.ba_retriangulate,
+    )
+    return extr_ba
+
+
+def multi_view_pose_pipeline(kpts, intr, matches0, conf, cfg=MultiViewPipelineConfig()):
+    """Estimate absolute extrinsics for one view tuple.
+
+    Args:
+        kpts: (V, K, 2) pixel keypoints per view.
+        intr: (V, 3, 3) or (V, 4, 4) intrinsics.
+        matches0: (P, K) int match index into view j per pair (the matcher's
+            stacked `matches0`, pair order [(i, j) for j in range(V) for i in
+            range(j)]), -1 = unmatched.
+        conf: (P, K) per-match confidences of the pairs.
+        cfg: pipeline configuration.
+    Returns:
+        (V, 4, 4) numpy extrinsics (world->cam, camera 0 = identity frame).
+    """
+    kpts = jnp.asarray(kpts)
+    intr = jnp.asarray(intr)[..., :3, :3]
+    matches0 = jnp.asarray(matches0)
+    conf = jnp.asarray(conf)
+    V, K, _ = kpts.shape
+    pairs = _pair_list(V)
+    P = len(pairs)
+    idx_i = np.asarray([p[0] for p in pairs])
+    idx_j = np.asarray([p[1] for p in pairs])
+
+    # gather per-pair matched coordinates; invalid -> conf 0
+    kpts_i = kpts[idx_i]  # (P, K, 2)
+    gather = jnp.clip(matches0, 0, K - 1)
+    kpts_j = jnp.take_along_axis(kpts[idx_j], gather[..., None], axis=1)
+    valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
+    conf_m = jnp.where(valid, conf, 0.0)
+
+    T_rel, inlier_count, pose_valid, conf_gated = _pairwise_relative_poses(
+        kpts_i, kpts_j, intr[idx_i], intr[idx_j], conf_m,
+        cfg.two_view_ba_iterations,
+    )
+
+    # host: spanning tree over inlier counts
+    T_rel_np = np.asarray(T_rel)
+    counts_np = np.asarray(inlier_count)
+    valid_np = np.asarray(pose_valid)
+    rel_dict = {pairs[p]: T_rel_np[p] for p in range(P) if valid_np[p]}
+    cnt_dict = {pairs[p]: int(counts_np[p]) for p in range(P) if valid_np[p]}
+    extr_tree, tree = spanning_tree_poses(V, rel_dict, cnt_dict)
+    tree_set = set(tree)
+
+    # edges entering the averaging: successful pairs with enough inliers or on
+    # the tree (`bundle_adjust_io.py:185`)
+    edge_valid = np.asarray(
+        [
+            valid_np[p] and (counts_np[p] >= cfg.min_inliers or pairs[p] in tree_set)
+            for p in range(P)
+        ]
+    )
+
+    # flatten observations: one point per match slot of every pair
+    x_i_n = normalize_keypoints(kpts_i, intr[idx_i])  # (P, K, 2)
+    x_j_n = normalize_keypoints(kpts_j, intr[idx_j])
+    cam_a = jnp.asarray(np.repeat(idx_i, K).astype(np.int32))
+    cam_b = jnp.asarray(np.repeat(idx_j, K).astype(np.int32))
+    # BA observations use the epipolar-inlier-gated confidences from stage A;
+    # the reference feeds raw matcher confidences to Ceres (plain weighted L2,
+    # no robust loss) and relies on the conf MLP alone to suppress outliers.
+    w_obs = conf_gated.reshape(P * K)
+
+    extr_ba = _global_stage(
+        jnp.asarray(extr_tree),
+        jnp.asarray(idx_i.astype(np.int32)),
+        jnp.asarray(idx_j.astype(np.int32)),
+        T_rel,
+        jnp.asarray(edge_valid),
+        x_i_n.reshape(P * K, 2),
+        x_j_n.reshape(P * K, 2),
+        w_obs,
+        cam_a,
+        cam_b,
+        cfg,
+    )
+    return np.asarray(extr_ba)

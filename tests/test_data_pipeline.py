@@ -1,0 +1,122 @@
+"""Tests for the host data pipeline on a materialized synthetic ScanNet tree."""
+
+import os
+
+import numpy as np
+import pytest
+
+from e2e_multi_view_matching_tpu.data.sampling import create_sequential_subsets
+from e2e_multi_view_matching_tpu.data.synthetic import PlaneScene, write_scannet_format
+from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset, batch_iterator
+
+
+@pytest.fixture(scope="module")
+def scannet_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    scenes = []
+    for s in range(2):
+        scene = PlaneScene(rng, n_views=8, H=96, W=128)
+        name = f"scene{s:04d}_00"
+        write_scannet_format(scene, str(root), scene_name=name, split="train")
+        scenes.append((name, scene))
+    return str(os.path.join(root, "scannet")), scenes
+
+
+class TestTupleDataset:
+    def test_samples_tuples_and_loads(self, scannet_tree):
+        root, scenes = scannet_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=3, n_samples=4)
+        assert len(ds) > 0
+        sample = ds[0]
+        V = 3
+        assert sample["images"].shape[0] == V
+        assert sample["images"].shape[-1] == 1
+        assert sample["intr"].shape == (V, 4, 4)
+        assert sample["poses"].shape == (V, 4, 4)
+        assert sample["depths"].shape[0] == V
+        assert 0.0 <= sample["images"].min() and sample["images"].max() <= 1.0
+        # depth round trip: mm png -> meters, nonzero on the plane
+        assert sample["depths"].max() > 1.0
+
+    def test_start_epoch_resamples(self, scannet_tree):
+        root, _ = scannet_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=3, n_samples=4, seed=1)
+        first = list(ds.sampled_tuples)
+        ds.start_epoch()
+        second = list(ds.sampled_tuples)
+        assert first != second  # stochastic resampling
+
+    def test_tuple_ids_are_distinct(self, scannet_tree):
+        root, _ = scannet_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=4, n_samples=4)
+        for scene, ids in ds.sampled_tuples:
+            assert len(set(ids)) == len(ids)
+
+    def test_fixed_tuple_csv_roundtrip(self, scannet_tree, tmp_path):
+        root, _ = scannet_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=3, n_samples=4)
+        path = str(tmp_path / "tuples.csv")
+        ds.write_sampled_tuples(path, n=3)
+        before = ds.sampled_tuples[:3]
+        ds.read_sampled_tuples(path)
+        assert [tuple(t[1]) for t in ds.sampled_tuples] == [tuple(t[1]) for t in before]
+
+    def test_batch_iterator(self, scannet_tree):
+        root, _ = scannet_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=3, n_samples=4)
+        batches = list(batch_iterator(ds, batch_size=2, shuffle=True))
+        assert len(batches) == len(ds) // 2
+        b = batches[0]
+        assert b["images"].shape[:2] == (2, 3)
+        assert b["poses"].shape == (2, 3, 4, 4)
+
+    def test_color_jitter_changes_images(self, scannet_tree):
+        root, _ = scannet_tree
+        ds_a = MatchingTupleDataset(root, split="train", tuple_size=3, n_samples=4, seed=3)
+        ds_b = MatchingTupleDataset(root, split="train", tuple_size=3, n_samples=4,
+                                    jitter=0.2, seed=3)
+        sa = ds_a[0]
+        sb = ds_b[0]
+        assert sa["ids"] == sb["ids"]
+        assert not np.allclose(sa["images"], sb["images"])
+
+    def test_gt_matches_from_loaded_data(self, scannet_tree):
+        """Loaded depth/pose produce GT matches for exact correspondences."""
+        import jax.numpy as jnp
+
+        from e2e_multi_view_matching_tpu.data.gt_matches import gt_matches_of_pair
+
+        root, scenes = scannet_tree
+        name, scene = scenes[0]
+        ds = MatchingTupleDataset(root, split="train", tuple_size=2, n_samples=4)
+        # find a tuple from scene 0
+        for sc, ids in ds.sampled_tuples:
+            if sc == name:
+                break
+        sample = ds[[i for i, t in enumerate(ds.sampled_tuples) if t[0] == name][0]]
+        v0, v1 = sample["ids"]
+        rng = np.random.default_rng(0)
+        pix0, pix1 = scene.correspondences(v0, v1, 32, rng)
+        pad = rng.uniform([10, 10], [117, 85], size=(16, 2)).astype(np.float32)
+        k0 = np.concatenate([pix0, pad])[None]
+        k1 = np.concatenate([pix1, pad])[None]
+        gi, _ = gt_matches_of_pair(
+            jnp.asarray(k0), jnp.asarray(k1),
+            jnp.asarray(sample["intr"][0][None]), jnp.asarray(sample["intr"][1][None]),
+            jnp.asarray((np.linalg.inv(sample["poses"][1]) @ sample["poses"][0])[None]),
+            jnp.asarray(sample["depths"][0][None]), jnp.asarray(sample["depths"][1][None]),
+        )
+        gi = np.asarray(gi)[0]
+        n = len(pix0)
+        frac = np.mean(gi[0, :n] == np.arange(n))
+        assert frac > 0.7, frac
+
+
+class TestSampling:
+    def test_sequential_subsets_cover(self):
+        subsets = create_sequential_subsets(107, 25)
+        all_idx = np.concatenate(subsets)
+        assert len(all_idx) == 107
+        np.testing.assert_array_equal(np.sort(all_idx), np.arange(107))
+        assert all(len(s) in (26, 27) for s in subsets)

@@ -1,0 +1,87 @@
+"""End-to-end test of the multi-view pose pipeline on an exact synthetic scene."""
+
+import numpy as np
+
+from e2e_multi_view_matching_tpu.data.synthetic import PlaneScene
+from e2e_multi_view_matching_tpu.mvba.pipeline import (
+    MultiViewPipelineConfig,
+    multi_view_pose_pipeline,
+)
+
+
+def rot_err_deg(Ra, Rb):
+    tr = np.clip((np.trace(Ra.T @ Rb) - 1) / 2, -1, 1)
+    return np.degrees(np.arccos(tr))
+
+
+def transl_angle_deg(ta, tb):
+    n = np.linalg.norm(ta) * np.linalg.norm(tb)
+    if n < 1e-9:
+        return 0.0
+    return np.degrees(np.arccos(np.clip(ta @ tb / n, -1, 1)))
+
+
+def build_tuple_case(rng, V=5, K=64, n_true=48, noise_px=0.3, outlier_frac=0.1):
+    """Synthetic matcher output for a V-tuple.
+
+    The 3D structure is a volumetric cloud (NOT the fixture plane: coplanar
+    points are a degenerate configuration for the eight-point algorithm)."""
+    scene = PlaneScene(rng, n_views=V, baseline=0.8, rot_jitter=0.1)
+    pairs = [(i, j) for j in range(V) for i in range(j)]
+    # shared 3D points: random pixels in view 0 un-projected to random depths
+    base_pix = rng.uniform([15, 15], [scene.W - 15, scene.H - 15], size=(K, 2))
+    depths = rng.uniform(4.0, 12.0, size=K)
+    Kinv = np.linalg.inv(scene.intr[0])
+    rays = np.concatenate([base_pix, np.ones((K, 1))], -1) @ Kinv.T
+    R0 = scene.poses[0][:3, :3]
+    c0 = scene.poses[0][:3, 3]
+    Xw = (rays * depths[:, None]) @ R0.T + c0
+    kpts = np.zeros((V, K, 2), np.float32)
+    vis = np.zeros((V, K), bool)
+    for v in range(V):
+        p, d = scene.project(v, Xw)
+        inb = (d > 0.2) & (p[:, 0] > 5) & (p[:, 0] < scene.W - 5) & (p[:, 1] > 5) & (p[:, 1] < scene.H - 5)
+        kpts[v] = np.where(inb[:, None], p, rng.uniform(10, 100, size=(K, 2)))
+        kpts[v] += rng.normal(size=(K, 2)) * noise_px
+        vis[v] = inb
+    matches0 = np.full((len(pairs), K), -1, np.int64)
+    conf = np.zeros((len(pairs), K), np.float32)
+    for pi, (i, j) in enumerate(pairs):
+        good = vis[i] & vis[j]
+        idxs = np.where(good)[0][:n_true]
+        matches0[pi, idxs] = idxs  # same slot ordering across views
+        conf[pi, idxs] = rng.uniform(0.6, 1.0, size=len(idxs))
+        # inject outlier matches
+        n_out = int(len(idxs) * outlier_frac)
+        out_slots = np.where(~good)[0][:n_out]
+        for s in out_slots:
+            matches0[pi, s] = rng.integers(0, K)
+            conf[pi, s] = rng.uniform(0.1, 0.3)
+    return scene, kpts, matches0, conf
+
+
+class TestMultiViewPipeline:
+    def test_recovers_tuple_poses(self, rng):
+        scene, kpts, matches0, conf = build_tuple_case(rng)
+        intr = np.tile(scene.intr[0].astype(np.float32), (5, 1, 1))
+        extr = multi_view_pose_pipeline(kpts, intr, matches0, conf)
+        assert extr.shape == (5, 4, 4)
+        max_r, max_t = 0.0, 0.0
+        for j in range(5):
+            for i in range(j):
+                T_gt = scene.relative_pose(i, j)
+                T_pred = extr[j] @ np.linalg.inv(extr[i])
+                max_r = max(max_r, rot_err_deg(T_gt[:3, :3], T_pred[:3, :3]))
+                max_t = max(max_t, transl_angle_deg(T_gt[:3, 3], T_pred[:3, 3]))
+        assert max_r < 1.0, max_r
+        assert max_t < 5.0, max_t
+
+    def test_runs_with_sparse_matches(self, rng):
+        """Pairs with almost no matches must not break the pipeline."""
+        scene, kpts, matches0, conf = build_tuple_case(rng, n_true=24)
+        # kill most matches of several pairs
+        conf[0, :] = 0.0
+        conf[3, 5:] = 0.0
+        intr = np.tile(scene.intr[0].astype(np.float32), (5, 1, 1))
+        extr = multi_view_pose_pipeline(kpts, intr, matches0, conf)
+        assert np.all(np.isfinite(extr))
