@@ -49,6 +49,7 @@ from e2e_multi_view_matching_tpu.utils.config import (
     apply_dataset_defaults,
     get_exp_dir,
 )
+from e2e_multi_view_matching_tpu.utils.tblog import StepProfiler, TBWriter
 from e2e_multi_view_matching_tpu.utils.trackers import MeanTracker, TimeTracker
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -82,6 +83,9 @@ def parse_args(argv=None):
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke testing)")
     parser.add_argument("--val_every_epoch", type=int, default=1)
+    parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--profile_steps", type=str, default=None,
+                        help="'start,end' step window for a jax.profiler trace")
     return parser.parse_args(argv)
 
 
@@ -132,6 +136,13 @@ def main(argv=None):
         if is_main:
             save_config(exp_dir, {k: v for k, v in vars(opt).items()})
     log.info("experiment %s", opt.exp_name)
+    tb = TBWriter(opt.checkpoint_dir, opt.exp_name,
+                  enabled=is_main and not opt.no_tensorboard)
+    if opt.profile_steps:
+        p_start, p_end = (int(x) for x in opt.profile_steps.split(","))
+        profiler = StepProfiler(os.path.join(exp_dir, "profile"), p_start, p_end)
+    else:
+        profiler = StepProfiler(None, None, None)
 
     # data
     dataset_dir = os.path.join(opt.data_dir, opt.dataset)
@@ -207,16 +218,25 @@ def main(argv=None):
                 device_batch = shard_batch(
                     {k: batch[k] for k in ("images", "intr", "poses", "depths")}, mesh
                 )
+                profiler.maybe_start(global_step)
                 state, metrics = train_step(state, sp_vars, device_batch, step_key)
                 metrics_tracker.add({k: float(v) for k, v in metrics.items()})
                 time_tracker.finish_batch()
                 global_step += 1
+                profiler.maybe_stop(global_step)
                 if is_main and (i + 1) % opt.i_train == 0:
                     log.info(
                         "epoch %3d it %5d | batch %.3fs | loss %.4f",
                         epoch, i + 1, time_tracker.get_batch_time(),
                         metrics_tracker.get("train_loss"),
                     )
+                    tb.scalars("loss", {"train": metrics_tracker.get("train_loss")},
+                               global_step)
+                    if opt.pose_loss:
+                        for k in ("match_loss", "rot_loss", "transl_loss"):
+                            if metrics_tracker.has(k):
+                                tb.scalars(k, {"train": metrics_tracker.get(k)},
+                                           global_step)
                     metrics_tracker.reset()
                 if opt.max_steps is not None and global_step >= opt.max_steps:
                     break
@@ -237,6 +257,7 @@ def main(argv=None):
             val_loss = val_metrics.get("val_loss") if val_metrics.has("val_loss") else float("inf")
             if is_main:
                 log.info("epoch %3d | val loss %.4f", epoch, val_loss)
+                tb.scalars("loss", {"val": val_loss}, global_step)
                 names = ["last_model.ckpt", f"{epoch:06d}_model.ckpt"]
                 if val_loss < min_val_loss:
                     min_val_loss = val_loss

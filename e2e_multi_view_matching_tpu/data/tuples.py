@@ -82,9 +82,19 @@ class MatchingTupleDataset:
     """Stochastically sampled view tuples from ScanNet-format data."""
 
     def __init__(self, data_dir, split, tuple_size, n_samples=None, jitter=None,
-                 shuffle_tuple=True, preprocess_dir="overlap", seed=0):
+                 shuffle_tuple=True, preprocess_dir="overlap", seed=0,
+                 use_native="auto"):
         self.data_dir = data_dir
         self.split = split
+        # native C++ decode path (no color jitter support; scannet-style pngs)
+        if use_native == "auto":
+            from e2e_multi_view_matching_tpu.data import native_loader
+
+            use_native = (
+                native_loader.available() and jitter is None
+                and "megadepth" not in data_dir
+            )
+        self.use_native = bool(use_native)
         self.data_split_dir = os.path.join(
             data_dir, "scans" + ("_test" if split == "test" else "")
         )
@@ -192,7 +202,51 @@ class MatchingTupleDataset:
         intr = crop_intrinsics(intr, left, top)
         return rgb[top:bottom, left:right], depth[top:bottom, left:right], intr
 
+    def _getitem_native(self, index):
+        """Fast path: threaded C++ JPEG/PNG decode + resize (scannet layout)."""
+        from e2e_multi_view_matching_tpu.data import native_loader
+
+        scene, ids = self.sampled_tuples[index]
+        per_image_intr = "matterport" in self.data_split_dir
+        if not per_image_intr:
+            scene_intr = read_intrinsics(self.data_split_dir, scene)
+        sdir = os.path.join(self.data_split_dir, scene)
+        rgb_paths = [os.path.join(sdir, "color", f"{id}.jpg") for id in ids]
+        dep_paths = [os.path.join(sdir, "depth", f"{id}.png") for id in ids]
+        # target size = depth-map size (the reference resizes rgb to depth)
+        dh, dw = native_loader.png_size(dep_paths[0])
+        images, depths = native_loader.load_batch(rgb_paths, dep_paths, dh, dw)
+        intrs, poses = [], []
+        for i, id in enumerate(ids):
+            intr = (
+                read_intrinsics(self.data_split_dir, scene, id)
+                if per_image_intr else scene_intr.copy()
+            ).astype(np.float32)
+            if intr.shape == (3, 3):
+                intr4 = np.eye(4, dtype=np.float32)
+                intr4[:3, :3] = intr
+                intr = intr4
+            rh, rw = native_loader.jpeg_size(rgb_paths[i])
+            # 1296x968 pad semantics folded into the rescale (968+4 = 972)
+            if rw == 1296 and rh == 968:
+                rh += 4
+                intr[1, 2] += 2
+            if (rh, rw) != (dh, dw):
+                intr = resize_intrinsics(intr, dw / rw, dh / rh)
+            intrs.append(intr)
+            poses.append(read_pose(self.data_split_dir, scene, id).astype(np.float32))
+        return {
+            "scene": scene,
+            "ids": list(ids),
+            "images": images[..., None],
+            "intr": np.stack(intrs),
+            "poses": np.stack(poses),
+            "depths": depths,
+        }
+
     def __getitem__(self, index):
+        if self.use_native:
+            return self._getitem_native(index)
         scene, ids = self.sampled_tuples[index]
         is_megadepth = "megadepth" in self.data_split_dir
         per_image_intr = is_megadepth or "matterport" in self.data_split_dir

@@ -24,7 +24,7 @@ Output keys mirror the reference result dict: `scores_{i}_{j}` (log assignment,
 """
 
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,6 +48,9 @@ class MatcherConfig:
     gnn_layers: Tuple[str, ...] = field(default_factory=default_gnn_layers)
     num_heads: int = 4
     sinkhorn_iterations: int = 100
+    sinkhorn_impl: str = "xla"  # "xla" | "pallas" (VMEM-resident TPU kernel)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU fast path;
+    # Sinkhorn and score scaling always accumulate in float32)
     match_threshold: float = 0.2
     multi_frame_matching: bool = False
     conf_mlp: bool = False
@@ -59,15 +62,17 @@ class MLP(nn.Module):
 
     channels: Tuple[int, ...]
     use_bn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, c in enumerate(self.channels):
-            x = nn.Dense(c, name=f"dense_{i}")(x)
+            x = nn.Dense(c, name=f"dense_{i}", dtype=self.dtype)(x)
             if i < len(self.channels) - 1:
                 if self.use_bn:
                     x = nn.BatchNorm(
-                        use_running_average=not train, momentum=0.9, name=f"bn_{i}"
+                        use_running_average=not train, momentum=0.9, name=f"bn_{i}",
+                        dtype=jnp.float32,  # normalization statistics in f32
                     )(x)
                 x = nn.relu(x)
         return x
@@ -78,15 +83,16 @@ class AttentionalLayer(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, source, mask=None, train: bool = False):
-        q = nn.Dense(self.dim, name="q_proj")(x)
-        k = nn.Dense(self.dim, name="k_proj")(source)
-        v = nn.Dense(self.dim, name="v_proj")(source)
+        q = nn.Dense(self.dim, name="q_proj", dtype=self.dtype)(x)
+        k = nn.Dense(self.dim, name="k_proj", dtype=self.dtype)(source)
+        v = nn.Dense(self.dim, name="v_proj", dtype=self.dtype)(source)
         message = multi_head_attention(q, k, v, self.num_heads, mask=mask)
-        message = nn.Dense(self.dim, name="merge")(message)
-        delta = MLP((2 * self.dim, self.dim), name="mlp")(
+        message = nn.Dense(self.dim, name="merge", dtype=self.dtype)(message)
+        delta = MLP((2 * self.dim, self.dim), name="mlp", dtype=self.dtype)(
             jnp.concatenate([x, message], axis=-1), train=train
         )
         return x + delta
@@ -129,6 +135,7 @@ class MultiViewMatcher(nn.Module):
         cfg = self.config
         B, V, K, D = descs.shape
         assert D == cfg.descriptor_dim
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         # Keypoint position normalization (upstream convention: center & 0.7*max-dim).
         size = image_size.astype(kpts.dtype)  # (B, V, 2) = (H, W)
@@ -137,26 +144,28 @@ class MultiViewMatcher(nn.Module):
         kpts_n = (kpts - center) / scaling
 
         kenc_in = jnp.concatenate([kpts_n, scores[..., None]], axis=-1)  # (B, V, K, 3)
-        kenc = MLP(tuple(cfg.keypoint_encoder) + (D,), name="kenc")(kenc_in, train=train)
-        x = descs + kenc  # (B, V, K, D)
+        kenc = MLP(tuple(cfg.keypoint_encoder) + (D,), name="kenc", dtype=cdtype)(
+            kenc_in.astype(cdtype), train=train
+        )
+        x = descs.astype(cdtype) + kenc  # (B, V, K, D)
 
         tokens = x.reshape(B, V * K, D)
         xmask = cross_view_mask(V, K) if V > 1 else None
         for li, layer_type in enumerate(cfg.gnn_layers):
             if layer_type == "self":
                 t = tokens.reshape(B * V, K, D)
-                t = AttentionalLayer(D, cfg.num_heads, name=f"gnn_{li}_self")(
-                    t, t, train=train
-                )
+                t = AttentionalLayer(D, cfg.num_heads, name=f"gnn_{li}_self",
+                                     dtype=cdtype)(t, t, train=train)
                 tokens = t.reshape(B, V * K, D)
             elif layer_type == "cross":
-                tokens = AttentionalLayer(D, cfg.num_heads, name=f"gnn_{li}_cross")(
+                tokens = AttentionalLayer(D, cfg.num_heads, name=f"gnn_{li}_cross",
+                                          dtype=cdtype)(
                     tokens, tokens, mask=xmask, train=train
                 )
             else:
                 raise ValueError(f"unknown GNN layer type {layer_type!r}")
 
-        mdesc = nn.Dense(D, name="final_proj")(tokens).reshape(B, V, K, D)
+        mdesc = nn.Dense(D, name="final_proj", dtype=cdtype)(tokens).reshape(B, V, K, D)
 
         # All C(V,2) pairs at once.
         pairs = jnp.asarray(
@@ -167,12 +176,21 @@ class MultiViewMatcher(nn.Module):
         mdesc_j = mdesc[:, pairs[:, 1]]
         pair_scores = jnp.einsum(
             "bpkd,bpld->bpkl", mdesc_i, mdesc_j, preferred_element_type=jnp.float32
-        ) / (D ** 0.25)
+        ).astype(jnp.float32) / (D ** 0.25)  # Sinkhorn always in f32
 
         bin_score = self.param("bin_score", nn.initializers.ones, ())
-        log_p = log_optimal_transport(
-            pair_scores.reshape(B * P, K, K), bin_score, cfg.sinkhorn_iterations
-        ).reshape(B, P, K + 1, K + 1)
+        if cfg.sinkhorn_impl == "pallas":
+            from e2e_multi_view_matching_tpu.ops.sinkhorn_pallas import (
+                log_optimal_transport_pallas,
+            )
+
+            log_p = log_optimal_transport_pallas(
+                pair_scores.reshape(B * P, K, K), bin_score, cfg.sinkhorn_iterations
+            ).reshape(B, P, K + 1, K + 1)
+        else:
+            log_p = log_optimal_transport(
+                pair_scores.reshape(B * P, K, K), bin_score, cfg.sinkhorn_iterations
+            ).reshape(B, P, K + 1, K + 1)
 
         out = {"log_assignment": log_p, "pairs": pairs}
         if not full_output:
@@ -192,12 +210,12 @@ class MultiViewMatcher(nn.Module):
                 mdesc_j, gather_idx[..., None], axis=2
             )  # (B, P, K, D)
             feats = jnp.concatenate(
-                [mdesc_i, matched_j, out["matching_scores0"][..., None]], axis=-1
+                [mdesc_i, matched_j,
+                 out["matching_scores0"][..., None].astype(mdesc_i.dtype)], axis=-1
             )
-            conf = MLP(tuple(cfg.conf_mlp_hidden) + (1,), name="conf_mlp")(
-                feats, train=train
-            )
-            out["conf_scores"] = nn.sigmoid(conf)[..., 0]  # (B, P, K)
+            conf = MLP(tuple(cfg.conf_mlp_hidden) + (1,), name="conf_mlp",
+                       dtype=cdtype)(feats, train=train)
+            out["conf_scores"] = nn.sigmoid(conf.astype(jnp.float32))[..., 0]  # (B, P, K)
         return out
 
 
