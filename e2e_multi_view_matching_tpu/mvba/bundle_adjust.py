@@ -71,7 +71,7 @@ def _triangulate_pairwise(extr, cam_a, cam_b, xa, xb):
     return h[:, :3] / (sign * jnp.maximum(jnp.abs(wc), 1e-9))[:, None]
 
 
-@partial(jax.jit, static_argnames=("n_iterations", "retriangulate"))
+@partial(jax.jit, static_argnames=("n_iterations", "retriangulate", "axis_name"))
 def bundle_adjust_multi_view(
     extr_init,
     X_init,
@@ -85,6 +85,7 @@ def bundle_adjust_multi_view(
     lm_increase=1.5,
     lm_decrease=3.5,
     retriangulate=False,
+    axis_name=None,
 ):
     """Refine N camera extrinsics + P pairwise-match points.
 
@@ -97,6 +98,14 @@ def bundle_adjust_multi_view(
            reference normalizes observation confidences to sum to the
            observation count (`bundle_adjust_io.py:56-60`); callers should do
            the same for faithful weighting.
+        axis_name: when set, the function is running inside `shard_map` with the
+           observation axis sharded over that mesh axis: the reduced camera
+           system (Hcc, Schur corrections, gradients, residual norms -- a few
+           hundred floats) is `psum`'d over the axis while all per-point work
+           stays local. This is the distributed-BA design (SURVEY.md section
+           2.7 north star): per-shard Hessian block assembly + all-reduce of
+           the reduced system over ICI. Use
+           `mvba.distributed.bundle_adjust_multi_view_sharded` as the wrapper.
     Returns:
         (extr (N, 4, 4) best iterate, X (P, 3) final points).
     """
@@ -163,14 +172,29 @@ def bundle_adjust_multi_view(
         Ya = jnp.einsum("pij,pjl->pil", Hcpa, Hpp_inv)  # (P, 6, 3)
         Yb = jnp.einsum("pij,pjl->pil", Hcpb, Hpp_inv)
         # Schur blocks: S[c1, c2] -= Y_{c1} Hcp_{c2}^T for the cameras of each point
-        Sblocks = jnp.zeros((N, N, 6, 6), dtype)
-        Sblocks = Sblocks.at[cam_a, cam_a].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpa))
-        Sblocks = Sblocks.at[cam_a, cam_b].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpb))
-        Sblocks = Sblocks.at[cam_b, cam_a].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpa))
-        Sblocks = Sblocks.at[cam_b, cam_b].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpb))
-        Sblocks = Sblocks.at[jnp.arange(N), jnp.arange(N)].add(Hcc_d)
-        rhs_c = bc.at[cam_a].add(-jnp.einsum("pij,pj->pi", Ya, bp))
-        rhs_c = rhs_c.at[cam_b].add(-jnp.einsum("pij,pj->pi", Yb, bp))
+        corr = jnp.zeros((N, N, 6, 6), dtype)
+        corr = corr.at[cam_a, cam_a].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpa))
+        corr = corr.at[cam_a, cam_b].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpb))
+        corr = corr.at[cam_b, cam_a].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpa))
+        corr = corr.at[cam_b, cam_b].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpb))
+        rhs_corr = jnp.zeros((N, 6), dtype)
+        rhs_corr = rhs_corr.at[cam_a].add(-jnp.einsum("pij,pj->pi", Ya, bp))
+        rhs_corr = rhs_corr.at[cam_b].add(-jnp.einsum("pij,pj->pi", Yb, bp))
+        if axis_name is not None:
+            # all-reduce the reduced camera system over the observation shards
+            Hcc = jax.lax.psum(Hcc, axis_name)
+            bc = jax.lax.psum(bc, axis_name)
+            corr = jax.lax.psum(corr, axis_name)
+            rhs_corr = jax.lax.psum(rhs_corr, axis_name)
+            r_norm = jax.lax.psum(r_norm, axis_name)
+            # re-apply damping on the GLOBAL Hcc (local damping would differ)
+            Hcc_d = Hcc + damp * (
+                eye6 * jnp.maximum(
+                    jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-8
+                )[..., None, :]
+            )
+        Sblocks = corr.at[jnp.arange(N), jnp.arange(N)].add(Hcc_d)
+        rhs_c = bc + rhs_corr
 
         S = Sblocks[1:, 1:].transpose(0, 2, 1, 3).reshape(free * 6, free * 6)
         rhs = rhs_c[1:].reshape(free * 6)
@@ -188,6 +212,8 @@ def bundle_adjust_multi_view(
         )
         delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - HcpTdc)
         ok = jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p))
+        if axis_name is not None:
+            ok = jax.lax.psum(1 - ok.astype(jnp.int32), axis_name) == 0
         return delta_c, delta_p, r_norm, ok
 
     def normalize_gauge(extr, X, scale_ref):
@@ -221,6 +247,8 @@ def bundle_adjust_multi_view(
     if retriangulate:
         X = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb)
     r_final = residual_system(extr, X)[6]
+    if axis_name is not None:
+        r_final = jax.lax.psum(r_final, axis_name)
     improved = r_final < best_r
     best_extr = jnp.where(improved, extr, best_extr)
     best_X = jnp.where(improved, X, best_X)

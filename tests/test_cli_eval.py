@@ -1,0 +1,110 @@
+"""End-to-end tests of both benchmark CLIs on synthetic assets + checkpoints."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2e_multi_view_matching_tpu.data.synthetic import PlaneScene, write_scannet_format
+
+
+@pytest.fixture(scope="module")
+def eval_env(tmp_path_factory):
+    """Synthetic scans_test tree + LoFTR-style test.npz + trained-ish checkpoint."""
+    root = tmp_path_factory.mktemp("eval_data")
+    ckpt_root = tmp_path_factory.mktemp("eval_ckpts")
+    rng = np.random.default_rng(0)
+    data_dir = os.path.join(str(root), "scannet")
+
+    scene = PlaneScene(rng, n_views=8, H=96, W=128)
+    write_scannet_format(scene, str(root), scene_name="scene0777_00", split="test")
+
+    # LoFTR-style pair list: names = (scene_number, sub, id0, id1)
+    pairs = [(777, 0, i, i + 1) for i in range(4)]
+    assets = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "assets", "scannet_test_1500")
+    os.makedirs(assets, exist_ok=True)
+    npz_path = os.path.join(assets, "test.npz")
+    np.savez(npz_path, name=np.asarray(pairs))
+
+    # checkpoint: random two-view matcher saved in our format
+    from e2e_multi_view_matching_tpu.models.matcher import (
+        MatcherConfig, MultiViewMatcher, default_gnn_layers,
+    )
+    from e2e_multi_view_matching_tpu.train.checkpoint import save_checkpoint, save_config
+    from e2e_multi_view_matching_tpu.train.step import TrainState
+    import optax
+
+    K = 1024
+    matcher = MultiViewMatcher(MatcherConfig(
+        gnn_layers=default_gnn_layers(9, 1), sinkhorn_iterations=10, conf_mlp=True,
+    ))
+    m_vars = matcher.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, K, 2)), jnp.zeros((1, 2, K)),
+        jnp.zeros((1, 2, K, 256)), jnp.full((1, 2, 2), 96.0),
+    )
+    exp_dir = os.path.join(str(ckpt_root), "testexp")
+    os.makedirs(exp_dir, exist_ok=True)
+    state = TrainState(m_vars["params"], m_vars["batch_stats"],
+                       optax.identity().init(m_vars["params"]),
+                       jnp.zeros((), jnp.int32), jnp.zeros(()))
+    save_checkpoint(exp_dir, "model.ckpt", state, epoch=0, min_val_loss=1.0)
+    save_config(exp_dir, {
+        "remove_borders": 8, "nms_radius": 4, "keypoint_threshold": 1e-4,
+        "cross_attention_layers": 1, "gnn_layers": 2, "dataset": "scannet",
+    })
+    return str(root), str(ckpt_root), npz_path
+
+
+def test_eval_pairs_cli(eval_env):
+    data_root, ckpt_root, npz_path = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_pairs
+
+    result = eval_pairs.main([
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--exp_name", "testexp",
+        "--eval_mode", "w8pt_ba", "--max_pairs", "2",
+        "--sinkhorn_iterations", "10",
+    ])
+    assert set(result) == {"AUC@5deg", "AUC@10deg", "AUC@20deg"}
+    out_json = os.path.join(ckpt_root, "testexp", "two_view_w8pt_ba_scannet.json")
+    assert os.path.exists(out_json)
+
+
+def test_eval_pairs_cli_ransac(eval_env):
+    data_root, ckpt_root, npz_path = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_pairs
+
+    result = eval_pairs.main([
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--exp_name", "testexp",
+        "--eval_mode", "ransac", "--max_pairs", "1",
+        "--sinkhorn_iterations", "10",
+    ])
+    assert "AUC@5deg" in result
+
+
+def test_eval_multi_view_cli(eval_env):
+    data_root, ckpt_root, _ = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_multi_view
+    from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset
+
+    # write a fixed-tuple CSV for the test split
+    ds = MatchingTupleDataset(
+        os.path.join(data_root, "scannet"), split="test", tuple_size=3,
+        n_samples=2, shuffle_tuple=False,
+    )
+    tuple_csv = os.path.join(ckpt_root, "tuples.csv")
+    ds.write_sampled_tuples(tuple_csv, n=2)
+
+    result = eval_multi_view.main([
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--tuple_size", "3", "--exp_name", "testexp",
+        "--test_tuple_file", tuple_csv, "--max_tuples", "1",
+        "--sinkhorn_iterations", "10",
+    ])
+    assert "pose_AUC@5deg" in result
+    assert os.path.exists(os.path.join(ckpt_root, "testexp", "multi_view_scannet.json"))
