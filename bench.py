@@ -15,11 +15,24 @@ eval throughput (~10 sequential SuperGlue-style pair matchings per 5-tuple at
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_TUPLES_PER_S = 0.7
+
+# The axon TPU tunnel compiles ~5x faster with terminal-side compilation, but
+# the flag must be set before the interpreter's sitecustomize registers the
+# backend -- so re-exec once with it.
+if (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"
+    and os.environ.get("_EMVM_BENCH_REEXEC") != "1"
+):
+    env = dict(os.environ, PALLAS_AXON_REMOTE_COMPILE="1", _EMVM_BENCH_REEXEC="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 def main():

@@ -114,6 +114,193 @@ class PlaneScene:
         return (np.linalg.inv(self.poses[v1]) @ self.poses[v0]).astype(np.float32)
 
 
+class MultiPlaneScene(PlaneScene):
+    """Several tilted planes at different depths: exact depth via nearest
+    positive ray-plane intersection. Non-coplanar structure -- REQUIRED for any
+    test exercising the eight-point solve (a single plane is a degenerate
+    configuration for fundamental-matrix estimation)."""
+
+    def __init__(self, rng, n_views=2, H=120, W=160, f=140.0,
+                 plane_zs=(4.0, 6.5, 9.0), tilt=0.35, baseline=0.5,
+                 rot_jitter=0.08):
+        super().__init__(rng, n_views=n_views, H=H, W=W, f=f, plane_z=plane_zs[0],
+                         tilt=tilt, baseline=baseline, rot_jitter=rot_jitter)
+        self.plane_ns = []
+        self.plane_cs = []
+        for z in plane_zs:
+            n = np.array([tilt * rng.normal(), tilt * rng.normal(), 1.0])
+            n = n / np.linalg.norm(n)
+            self.plane_ns.append(n)
+            self.plane_cs.append(n @ np.array([0.0, 0.0, z]))
+        self.plane_ns = np.stack(self.plane_ns)  # (P, 3)
+        self.plane_cs = np.asarray(self.plane_cs)
+
+    def _ray_depths(self, v, rays_w, cam_c):
+        """(..., 3) world rays -> per-plane depths (..., P), <=0 marked inf."""
+        denom = rays_w @ self.plane_ns.T  # (..., P)
+        num = self.plane_cs[None] - (cam_c @ self.plane_ns.T)[None]
+        d = np.where(np.abs(denom) > 1e-9, num / np.where(np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+        return np.where(d > 1e-6, d, np.inf)
+
+    def depth_map(self, v):
+        H, W = self.H, self.W
+        Kinv = np.linalg.inv(self.intr[v])
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        rays_cam = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        rays_w = rays_cam @ R.T
+        d = self._ray_depths(v, rays_w.reshape(-1, 3), c).min(axis=-1)
+        d = np.where(np.isfinite(d), d, 0.0)
+        return d.reshape(H, W).astype(np.float32)
+
+    def _hit_plane(self, v, rays_w, cam_c):
+        d = self._ray_depths(v, rays_w, cam_c)
+        return d.min(axis=-1), d.argmin(axis=-1)
+
+    def depth_at(self, v, pix):
+        Kinv = np.linalg.inv(self.intr[v])
+        rays_cam = np.concatenate([pix, np.ones((len(pix), 1))], -1) @ Kinv.T
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        d, _ = self._hit_plane(v, rays_cam @ R.T, c)
+        return np.where(np.isfinite(d), d, 0.0)
+
+
+class SphereFieldScene(PlaneScene):
+    """A field of random spheres in front of a background plane.
+
+    Exact depth via closed-form ray-sphere intersection (nearest positive hit,
+    falling back to the plane), with TRUE occlusion consistency across views --
+    unlike stacked infinite planes, where the nearest plane hides all others
+    and the visible structure degenerates back to (near-)coplanar. This is the
+    fixture for anything exercising the eight-point solve or bundle adjustment.
+    """
+
+    def __init__(self, rng, n_views=2, H=120, W=160, f=140.0, n_spheres=40,
+                 depth_range=(3.5, 9.0), radius_range=(0.25, 0.9),
+                 plane_z=11.0, baseline=0.5, rot_jitter=0.08):
+        super().__init__(rng, n_views=n_views, H=H, W=W, f=f, plane_z=plane_z,
+                         tilt=0.15, baseline=baseline, rot_jitter=rot_jitter)
+        # spheres spread across the shared viewing frustum
+        zs = rng.uniform(*depth_range, size=n_spheres)
+        xy_extent = zs[:, None] * 0.6  # keep inside a ~60deg frustum
+        centers = np.concatenate(
+            [rng.uniform(-1, 1, size=(n_spheres, 2)) * xy_extent, zs[:, None]], axis=1
+        )
+        self.sphere_c = centers
+        self.sphere_r = rng.uniform(*radius_range, size=n_spheres)
+
+    def _ray_depth(self, rays_w, cam_c):
+        """Nearest positive hit over spheres + background plane. (N,) depths."""
+        # sphere: ||o + t d - c||^2 = r^2 with unit-ish d (not normalized: t is
+        # in units of the ray parameter = cam-z depth scale, consistent
+        # because rays come from K^-1 pixel with z=1 in cam frame)
+        oc = cam_c[None, None, :] - self.sphere_c[None, :, :]  # (1, S, 3) - broadcast N
+        d = rays_w[:, None, :]  # (N, 1, 3)
+        a = np.sum(d * d, axis=-1)  # (N, 1)->(N, S) via broadcast
+        b = 2.0 * np.sum(d * oc, axis=-1)
+        cq = np.sum(oc * oc, axis=-1) - (self.sphere_r**2)[None, :]
+        disc = b * b - 4.0 * a * cq
+        safe = disc > 0
+        sqrt_disc = np.sqrt(np.where(safe, disc, 0.0))
+        t = (-b - sqrt_disc) / (2.0 * a)
+        t = np.where(safe & (t > 1e-6), t, np.inf)  # (N, S)
+        t_min = t.min(axis=1)
+        # background plane
+        denom = rays_w @ self.plane_n
+        num = self.plane_c - cam_c @ self.plane_n
+        tp = np.where(np.abs(denom) > 1e-9, num / np.where(np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+        tp = np.where(tp > 1e-6, tp, np.inf)
+        return np.minimum(t_min, tp)
+
+    def depth_map(self, v):
+        H, W = self.H, self.W
+        Kinv = np.linalg.inv(self.intr[v])
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+        rays_cam = np.stack([xs.ravel(), ys.ravel(), np.ones(H * W)], -1) @ Kinv.T
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        d = self._ray_depth(rays_cam @ R.T, c)
+        d = np.where(np.isfinite(d), d, 0.0)
+        return d.reshape(H, W).astype(np.float32)
+
+    def depth_at(self, v, pix):
+        Kinv = np.linalg.inv(self.intr[v])
+        rays_cam = np.concatenate([pix, np.ones((len(pix), 1))], -1) @ Kinv.T
+        R = self.poses[v][:3, :3]
+        c = self.poses[v][:3, 3]
+        d = self._ray_depth(rays_cam @ R.T, c)
+        return np.where(np.isfinite(d), d, 0.0)
+
+    def correspondences(self, v0, v1, n_pts, rng, margin=10):
+        """Exact co-visible pixel pairs with occlusion checking both ways."""
+        pix0 = rng.uniform([margin, margin], [self.W - margin, self.H - margin],
+                           size=(n_pts * 6, 2))
+        X = self.unproject(v0, pix0)
+        pix1, d1 = self.project(v1, X)
+        # occlusion check: view-1 must see the same 3D point (same depth)
+        d1_surface = self.depth_at(v1, pix1)
+        visible = np.abs(d1_surface - d1) < 0.05 * np.maximum(d1, 1e-6)
+        ok = (
+            (d1 > 0.1) & visible
+            & (pix1[:, 0] > margin) & (pix1[:, 0] < self.W - margin)
+            & (pix1[:, 1] > margin) & (pix1[:, 1] < self.H - margin)
+        )
+        return (pix0[ok][:n_pts].astype(np.float32),
+                pix1[ok][:n_pts].astype(np.float32))
+
+
+def fourier_texture_image(scene, v, rng=None, n_waves=24, seed=0):
+    """Random-Fourier-feature texture on the scene geometry.
+
+    Unlike a checkerboard (whose corners are locally identical, making
+    descriptor matching inherently ambiguous), every world point gets a
+    distinctive local appearance: img(X) = sum_i a_i sin(k_i . X + phi_i) with
+    random frequencies. Keypoint descriptors then carry geometric identity --
+    the property real scenes have and learned matching needs.
+    """
+    if rng is None:
+        rng = np.random.default_rng(seed)
+    if not hasattr(scene, "_texture"):
+        ks = rng.normal(size=(n_waves, 3)) * rng.uniform(2.0, 9.0, size=(n_waves, 1))
+        phis = rng.uniform(0, 2 * np.pi, size=n_waves)
+        amps = rng.uniform(0.3, 1.0, size=n_waves)
+        scene._texture = (ks, phis, amps)
+    ks, phis, amps = scene._texture
+    H, W = scene.H, scene.W
+    Kinv = np.linalg.inv(scene.intr[v])
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    pix = np.stack([xs.ravel(), ys.ravel()], -1)
+    d = scene.depth_at(v, pix)
+    rays_cam = np.concatenate([pix, np.ones((len(pix), 1))], -1) @ Kinv.T
+    R = scene.poses[v][:3, :3]
+    c = scene.poses[v][:3, 3]
+    Xw = (rays_cam * d[:, None]) @ R.T + c
+    val = (np.sin(Xw @ ks.T + phis[None]) * amps[None]).sum(-1)
+    val = (val - val.min()) / max(val.max() - val.min(), 1e-6)
+    return (0.1 + 0.8 * val).reshape(H, W).astype(np.float32)
+
+
+def multiplane_image(scene, v, cells=(0.45, 0.6, 0.8)):
+    """Checkerboard texture whose cell size depends on the hit plane."""
+    H, W = scene.H, scene.W
+    Kinv = np.linalg.inv(scene.intr[v])
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    rays_cam = np.stack([xs.ravel(), ys.ravel(), np.ones(H * W)], -1) @ Kinv.T
+    R = scene.poses[v][:3, :3]
+    c = scene.poses[v][:3, 3]
+    rays_w = rays_cam @ R.T
+    d, pid = scene._hit_plane(v, rays_w, c)
+    d = np.where(np.isfinite(d), d, 0.0)
+    Xw = rays_w * d[:, None] + c
+    cell = np.asarray(cells)[pid % len(cells)]
+    u = np.floor(Xw[:, 0] / cell).astype(int)
+    w = np.floor(Xw[:, 1] / cell).astype(int)
+    img = ((u + w + pid) % 2).astype(np.float32) * 0.7 + 0.15
+    return img.reshape(H, W)
+
+
 def checkerboard_image(scene, v, cell_world=0.4):
     """Render a grayscale checkerboard texture on the plane for view v (H, W) in [0,1].
 
