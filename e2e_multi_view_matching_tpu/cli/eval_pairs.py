@@ -47,6 +47,9 @@ def parse_args(argv=None):
                         choices=["ransac", "ransac_ba", "w8pt", "w8pt_ba"])
     parser.add_argument("--max_pairs", type=int, default=None)
     parser.add_argument("--sinkhorn_iterations", type=int, default=100)
+    parser.add_argument("--assets_dir", type=str, default=None,
+                        help="directory holding the LoFTR/SuperGlue pair lists "
+                             "(default: <repo>/assets)")
     return parser.parse_args(argv)
 
 
@@ -177,7 +180,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
 def main(argv=None):
     opt = parse_args(argv)
     source_dir = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    assets = os.path.join(source_dir, "assets")
+    assets = opt.assets_dir or os.path.join(source_dir, "assets")
     # dataset-specific pair lists + superpoint params (`eval_pairs.py:155-180`)
     if "megadepth" in opt.dataset:
         d = os.path.join(assets, "megadepth_test_1500_scene_info")

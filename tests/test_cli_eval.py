@@ -22,10 +22,11 @@ def eval_env(tmp_path_factory):
     scene = PlaneScene(rng, n_views=8, H=96, W=128)
     write_scannet_format(scene, str(root), scene_name="scene0777_00", split="test")
 
-    # LoFTR-style pair list: names = (scene_number, sub, id0, id1)
+    # LoFTR-style pair list: names = (scene_number, sub, id0, id1);
+    # written under a tmp assets dir passed via --assets_dir
     pairs = [(777, 0, i, i + 1) for i in range(4)]
-    assets = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "assets", "scannet_test_1500")
+    assets_root = tmp_path_factory.mktemp("assets")
+    assets = os.path.join(str(assets_root), "scannet_test_1500")
     os.makedirs(assets, exist_ok=True)
     npz_path = os.path.join(assets, "test.npz")
     np.savez(npz_path, name=np.asarray(pairs))
@@ -56,18 +57,18 @@ def eval_env(tmp_path_factory):
         "remove_borders": 8, "nms_radius": 4, "keypoint_threshold": 1e-4,
         "cross_attention_layers": 1, "gnn_layers": 2, "dataset": "scannet",
     })
-    return str(root), str(ckpt_root), npz_path
+    return str(root), str(ckpt_root), str(assets_root)
 
 
 def test_eval_pairs_cli(eval_env):
-    data_root, ckpt_root, npz_path = eval_env
+    data_root, ckpt_root, assets_root = eval_env
     from e2e_multi_view_matching_tpu.cli import eval_pairs
 
     result = eval_pairs.main([
         "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
         "--dataset", "scannet", "--exp_name", "testexp",
         "--eval_mode", "w8pt_ba", "--max_pairs", "2",
-        "--sinkhorn_iterations", "10",
+        "--sinkhorn_iterations", "10", "--assets_dir", assets_root,
     ])
     assert set(result) == {"AUC@5deg", "AUC@10deg", "AUC@20deg"}
     out_json = os.path.join(ckpt_root, "testexp", "two_view_w8pt_ba_scannet.json")
@@ -75,14 +76,14 @@ def test_eval_pairs_cli(eval_env):
 
 
 def test_eval_pairs_cli_ransac(eval_env):
-    data_root, ckpt_root, npz_path = eval_env
+    data_root, ckpt_root, assets_root = eval_env
     from e2e_multi_view_matching_tpu.cli import eval_pairs
 
     result = eval_pairs.main([
         "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
         "--dataset", "scannet", "--exp_name", "testexp",
         "--eval_mode", "ransac", "--max_pairs", "1",
-        "--sinkhorn_iterations", "10",
+        "--sinkhorn_iterations", "10", "--assets_dir", assets_root,
     ])
     assert "AUC@5deg" in result
 

@@ -111,8 +111,11 @@ def main():
 
     ev_descs, ev_kpts, ev_scores, ev_gt, ev_w, ev_T, ev_intr = build_set(N_EVAL)
 
+    # match_threshold=0: the reference's w8pt eval modes do not threshold --
+    # they rely on confidence weighting in the pose solve (`eval_pairs.py:152`)
     matcher = MultiViewMatcher(MatcherConfig(
         gnn_layers=default_gnn_layers(3, 1), sinkhorn_iterations=30, conf_mlp=False,
+        match_threshold=0.0,
     ))
     m_vars = matcher.init(key, ev_kpts[:1], ev_scores[:1], ev_descs[:1],
                           jnp.full((1, V, 2), float(H)))
