@@ -49,6 +49,7 @@ class MatcherConfig:
     num_heads: int = 4
     sinkhorn_iterations: int = 100
     sinkhorn_impl: str = "xla"  # "xla" | "pallas" (VMEM-resident TPU kernel)
+    attention_impl: str = "xla"  # "xla" | "pallas" (fused masked attention)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU fast path;
     # Sinkhorn and score scaling always accumulate in float32)
     match_threshold: float = 0.2
@@ -79,18 +80,36 @@ class MLP(nn.Module):
 
 
 class AttentionalLayer(nn.Module):
-    """One GNN block: MHA message + residual MLP update."""
+    """One GNN block: MHA message + residual MLP update.
+
+    `impl="pallas"` routes the attention through the fused in-kernel-masked
+    TPU kernel (`ops/attention_pallas.py`); `mode`/`n_views`/`n_kpts` describe
+    the token structure for the in-kernel mask.
+    """
 
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    impl: str = "xla"
+    mode: str = "full"
+    n_views: int = 1
+    n_kpts: int = 0
 
     @nn.compact
     def __call__(self, x, source, mask=None, train: bool = False):
         q = nn.Dense(self.dim, name="q_proj", dtype=self.dtype)(x)
         k = nn.Dense(self.dim, name="k_proj", dtype=self.dtype)(source)
         v = nn.Dense(self.dim, name="v_proj", dtype=self.dtype)(source)
-        message = multi_head_attention(q, k, v, self.num_heads, mask=mask)
+        if self.impl == "pallas":
+            from e2e_multi_view_matching_tpu.ops.attention_pallas import (
+                fused_view_attention,
+            )
+
+            message = fused_view_attention(
+                q, k, v, self.num_heads, self.n_views, self.n_kpts, self.mode
+            )
+        else:
+            message = multi_head_attention(q, k, v, self.num_heads, mask=mask)
         message = nn.Dense(self.dim, name="merge", dtype=self.dtype)(message)
         delta = MLP((2 * self.dim, self.dim), name="mlp", dtype=self.dtype)(
             jnp.concatenate([x, message], axis=-1), train=train
@@ -150,16 +169,20 @@ class MultiViewMatcher(nn.Module):
         x = descs.astype(cdtype) + kenc  # (B, V, K, D)
 
         tokens = x.reshape(B, V * K, D)
-        xmask = cross_view_mask(V, K) if V > 1 else None
+        use_pallas_attn = cfg.attention_impl == "pallas"
+        xmask = (cross_view_mask(V, K) if (V > 1 and not use_pallas_attn) else None)
         for li, layer_type in enumerate(cfg.gnn_layers):
             if layer_type == "self":
                 t = tokens.reshape(B * V, K, D)
                 t = AttentionalLayer(D, cfg.num_heads, name=f"gnn_{li}_self",
-                                     dtype=cdtype)(t, t, train=train)
+                                     dtype=cdtype, impl=cfg.attention_impl,
+                                     mode="full", n_views=1, n_kpts=K)(
+                    t, t, train=train)
                 tokens = t.reshape(B, V * K, D)
             elif layer_type == "cross":
                 tokens = AttentionalLayer(D, cfg.num_heads, name=f"gnn_{li}_cross",
-                                          dtype=cdtype)(
+                                          dtype=cdtype, impl=cfg.attention_impl,
+                                          mode="cross", n_views=V, n_kpts=K)(
                     tokens, tokens, mask=xmask, train=train
                 )
             else:

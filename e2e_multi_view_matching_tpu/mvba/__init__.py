@@ -19,3 +19,4 @@ from e2e_multi_view_matching_tpu.mvba.rotation_averaging import rotation_averagi
 from e2e_multi_view_matching_tpu.mvba.translation_averaging import translation_averaging
 from e2e_multi_view_matching_tpu.mvba.bundle_adjust import bundle_adjust_multi_view
 from e2e_multi_view_matching_tpu.mvba.spanning_tree import spanning_tree_poses
+from e2e_multi_view_matching_tpu.mvba.pipeline import robust_relative_poses

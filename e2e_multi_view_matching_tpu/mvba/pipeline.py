@@ -54,7 +54,7 @@ def _pair_list(V):
 
 
 @partial(jax.jit, static_argnames=("n_iterations", "n_irls"))
-def _pairwise_relative_poses(
+def robust_relative_poses(
     kpts_i, kpts_j_matched, intr_i, intr_j, conf, n_iterations, n_irls=2
 ):
     """Robust w8pt + two-view BA for a batch of pairs.
@@ -157,7 +157,7 @@ def multi_view_pose_pipeline(kpts, intr, matches0, conf, cfg=MultiViewPipelineCo
     valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
     conf_m = jnp.where(valid, conf, 0.0)
 
-    T_rel, inlier_count, pose_valid, conf_gated = _pairwise_relative_poses(
+    T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
         kpts_i, kpts_j, intr[idx_i], intr[idx_j], conf_m,
         cfg.two_view_ba_iterations,
     )

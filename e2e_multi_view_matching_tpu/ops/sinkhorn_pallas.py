@@ -50,6 +50,8 @@ def _sinkhorn_kernel(coup_ref, log_mu_ref, log_nu_ref, out_ref, *, n_iters):
 
 
 def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, M, N = couplings.shape
     kernel = functools.partial(_sinkhorn_kernel, n_iters=n_iters)
     # marginals ride as (B, 1, M) so every block dimension is either full-size
@@ -69,7 +71,7 @@ def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=False):
+def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=None):
     """Drop-in Pallas replacement for `ops.sinkhorn.log_optimal_transport`.
 
     Args:
