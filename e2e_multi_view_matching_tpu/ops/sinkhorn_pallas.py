@@ -27,26 +27,45 @@ from jax.experimental.pallas import tpu as pltpu
 from e2e_multi_view_matching_tpu.ops import sinkhorn as sinkhorn_xla
 
 
-def _sinkhorn_kernel(coup_ref, log_mu_ref, log_nu_ref, out_ref, *, n_iters):
-    coup = coup_ref[0]  # (M, N)
+def _sinkhorn_kernel(coup_hbm, log_mu_ref, log_nu_ref, out_hbm, *, n_iters):
+    # couplings stay in HBM; one manual single-buffered DMA in/out per program.
+    # (Automatic VMEM blocking double-buffers both the input and output 4.2 MB
+    # blocks, which blows the 16 MB VMEM budget inside larger programs.)
     log_mu = log_mu_ref[0, 0]  # (M,)
     log_nu = log_nu_ref[0, 0]  # (N,)
+    b = pl.program_id(0)
 
-    def body(_, uv):
-        u, v = uv
-        # u = log_mu - logsumexp(coup + v[None, :], axis=1)
-        a = coup + v[None, :]
-        m1 = jnp.max(a, axis=1)
-        u = log_mu - (jnp.log(jnp.sum(jnp.exp(a - m1[:, None]), axis=1)) + m1)
-        b = coup + u[:, None]
-        m0 = jnp.max(b, axis=0)
-        v = log_nu - (jnp.log(jnp.sum(jnp.exp(b - m0[None, :]), axis=0)) + m0)
-        return (u, v)
+    def run(scratch, sem_in, sem_out):
+        copy_in = pltpu.make_async_copy(coup_hbm.at[b], scratch, sem_in)
+        copy_in.start()
+        copy_in.wait()
+        coup = scratch[:]
 
-    u0 = jnp.zeros_like(log_mu)
-    v0 = jnp.zeros_like(log_nu)
-    u, v = jax.lax.fori_loop(0, n_iters, body, (u0, v0))
-    out_ref[0] = coup + u[:, None] + v[None, :]
+        def body(_, uv):
+            u, v = uv
+            # u = log_mu - logsumexp(coup + v[None, :], axis=1)
+            a = coup + v[None, :]
+            m1 = jnp.max(a, axis=1)
+            u = log_mu - (jnp.log(jnp.sum(jnp.exp(a - m1[:, None]), axis=1)) + m1)
+            bb = coup + u[:, None]
+            m0 = jnp.max(bb, axis=0)
+            v = log_nu - (jnp.log(jnp.sum(jnp.exp(bb - m0[None, :]), axis=0)) + m0)
+            return (u, v)
+
+        u0 = jnp.zeros_like(log_mu)
+        v0 = jnp.zeros_like(log_nu)
+        u, v = jax.lax.fori_loop(0, n_iters, body, (u0, v0))
+        scratch[:] = coup + u[:, None] + v[None, :]
+        copy_out = pltpu.make_async_copy(scratch, out_hbm.at[b], sem_out)
+        copy_out.start()
+        copy_out.wait()
+
+    pl.run_scoped(
+        run,
+        pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    )
 
 
 def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False):
@@ -60,11 +79,11 @@ def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False):
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, M, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((B, M, N), couplings.dtype),
         interpret=interpret,
     )(couplings, log_mu[:, None, :], log_nu[:, None, :])
