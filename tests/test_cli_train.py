@@ -36,8 +36,9 @@ def test_train_cli_smoke(train_env, monkeypatch):
         "--sinkhorn_iterations", "10",
     ])
     assert int(state.step) == 2
-    # experiment dir with cfg.json and checkpoints exists
-    exps = os.listdir(ckpt_dir)
+    # experiment dir with cfg.json and checkpoints exists ("runs" holds the
+    # TensorBoard event files)
+    exps = [e for e in os.listdir(ckpt_dir) if e != "runs"]
     assert len(exps) == 1
     exp_dir = os.path.join(ckpt_dir, exps[0])
     cfg = json.load(open(os.path.join(exp_dir, "cfg.json")))
