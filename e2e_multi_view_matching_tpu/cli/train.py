@@ -14,14 +14,11 @@ size (`train.py:23-34,279`).
 
 import argparse
 import datetime
-import json
 import logging
 import os
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from e2e_multi_view_matching_tpu.data.sampling import create_sequential_subsets
 from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset, batch_iterator

@@ -15,7 +15,6 @@ volume independent of the point count.
 from functools import partial
 
 import jax
-import numpy as np
 from jax.sharding import PartitionSpec as P
 
 try:

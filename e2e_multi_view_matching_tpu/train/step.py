@@ -7,7 +7,6 @@ is a single compiled function, pjit-able over a device mesh (batch sharded on
 the "data" axis -- the DDP equivalent; gradient all-reduce is emitted by XLA).
 """
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -17,14 +16,12 @@ import optax
 from e2e_multi_view_matching_tpu.data.gt_matches import gt_matches_all_pairs
 from e2e_multi_view_matching_tpu.train.losses import combine_losses, matcher_losses
 
-
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
     pose_match_ratio: jnp.ndarray
-
 
 def create_train_state(params, batch_stats, tx):
     return TrainState(
@@ -34,7 +31,6 @@ def create_train_state(params, batch_stats, tx):
         step=jnp.zeros((), jnp.int32),
         pose_match_ratio=jnp.zeros(()),
     )
-
 
 def make_train_step(superpoint, matcher, tx, opt):
     """Build the jitted train step.
@@ -126,7 +122,6 @@ def make_train_step(superpoint, matcher, tx, opt):
         return new_state, metrics
 
     return train_step
-
 
 def make_eval_step(superpoint, matcher, opt):
     """Validation step: same forward path, no update (`Validator.validate`)."""
