@@ -49,7 +49,10 @@ class MatcherConfig:
     num_heads: int = 4
     sinkhorn_iterations: int = 100
     sinkhorn_impl: str = "xla"  # "xla" | "pallas" (VMEM-resident TPU kernel)
-    attention_impl: str = "xla"  # "xla" | "pallas" (fused masked attention)
+    attention_impl: str = "xla"  # "xla" | "pallas" (fused masked attention;
+    # 1.7x faster measured, but EXPERIMENTAL: hardware output deviates from the
+    # XLA path despite exact interpret-mode agreement -- do not enable for
+    # accuracy-critical runs until validated on hardware)
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU fast path;
     # Sinkhorn and score scaling always accumulate in float32)
     match_threshold: float = 0.2
