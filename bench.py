@@ -51,6 +51,10 @@ def main():
         sinkhorn_iterations=100,
         conf_mlp=True,
         multi_frame_matching=True,
+        # fused Pallas attention: 1.7x over the XLA path (45.5 vs 77.6 ms),
+        # hardware-validated to ~4e-4 agreement; requires the remote-compile
+        # re-exec above on the axon tunnel
+        attention_impl="pallas",
     )
     matcher = MultiViewMatcher(cfg)
     rng = np.random.default_rng(0)
