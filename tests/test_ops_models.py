@@ -186,6 +186,33 @@ class TestMatcher:
         assert ref["matches0_0_1"].shape == (2, 16)
         assert ref["conf_scores_0_1"].shape == (2, 16, 1)
 
+    def test_pallas_impls_match_xla(self):
+        """Matcher with Pallas attention+Sinkhorn (auto-interpreted off-TPU)
+        reproduces the XLA path."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        B, V, K, D = 1, 3, 16, 256
+        kpts = jnp.asarray(rng.uniform(0, 64, size=(B, V, K, 2)).astype(np.float32))
+        scores = jnp.asarray(rng.uniform(size=(B, V, K)).astype(np.float32))
+        descs = jnp.asarray(rng.normal(size=(B, V, K, D)).astype(np.float32))
+        descs = descs / jnp.linalg.norm(descs, axis=-1, keepdims=True)
+        image_size = jnp.full((B, V, 2), 64.0)
+        outs = {}
+        for name, kw in (("xla", {}),
+                         ("pallas", dict(attention_impl="pallas",
+                                         sinkhorn_impl="pallas"))):
+            cfg = MatcherConfig(gnn_layers=default_gnn_layers(2, 1),
+                                sinkhorn_iterations=15, **kw)
+            model = MultiViewMatcher(cfg)
+            variables = model.init(jax.random.PRNGKey(0), kpts, scores, descs,
+                                   image_size)
+            outs[name] = model.apply(variables, kpts, scores, descs, image_size)
+        np.testing.assert_allclose(
+            np.asarray(outs["xla"]["log_assignment"]),
+            np.asarray(outs["pallas"]["log_assignment"]), atol=1e-4,
+        )
+
     def test_log_assignment_is_valid_distribution(self):
         out, _, _ = self._run(V=2)
         P = np.exp(np.asarray(out["log_assignment"][0, 0]))
