@@ -318,12 +318,18 @@ def checkerboard_image(scene, v, cell_world=0.4):
 
 def write_scannet_format(scene, root, scene_name="scene0000_00", split="train",
                          dataset="scannet", image_fn=checkerboard_image,
-                         overlap_all=True):
+                         overlap_all=True, per_image_intr_cx_step=0.0):
     """Materialize a ScanNet-format directory tree for the data-pipeline tests.
 
     Layout consumed by `/root/reference/datasets/scannet.py:9-42` and the tuple
     sampler: `<root>/<dataset>/scans/<scene>/{intrinsic,pose,depth,color}` plus
     `<root>/<dataset>/overlap/scans/<scene>.json` and `<root>/<dataset>/*_{split}.txt`.
+
+    A dataset name containing "matterport" switches to the Matterport layout
+    (`matching_dataset.py:173-175`): identical tree, but intrinsics are stored
+    per image as `intrinsic/<id>.txt` instead of one `intrinsic_color.txt`.
+    `per_image_intr_cx_step` offsets cx by `step * id` in those files so tests
+    can prove the loader read the per-image file rather than a shared one.
     """
     import json
 
@@ -334,11 +340,19 @@ def write_scannet_format(scene, root, scene_name="scene0000_00", split="train",
     sdir = os.path.join(ds_dir, scans, scene_name)
     for sub in ("intrinsic", "pose", "depth", "color"):
         os.makedirs(os.path.join(sdir, sub), exist_ok=True)
+    per_image_intr = "matterport" in dataset
     intr4 = np.eye(4)
     intr4[:3, :3] = scene.intr[0]
-    np.savetxt(os.path.join(sdir, "intrinsic", "intrinsic_color.txt"), intr4, delimiter=" ")
+    if not per_image_intr:
+        np.savetxt(os.path.join(sdir, "intrinsic", "intrinsic_color.txt"), intr4,
+                   delimiter=" ")
     n_views = len(scene.poses)
     for v in range(n_views):
+        if per_image_intr:
+            vintr = intr4.copy()
+            vintr[0, 2] += per_image_intr_cx_step * v
+            np.savetxt(os.path.join(sdir, "intrinsic", f"{v}.txt"), vintr,
+                       delimiter=" ")
         np.savetxt(os.path.join(sdir, "pose", f"{v}.txt"), scene.poses[v], delimiter=" ")
         depth_mm = (scene.depth_map(v) * 1000.0).astype(np.uint16)
         cv2.imwrite(os.path.join(sdir, "depth", f"{v}.png"), depth_mm)

@@ -113,6 +113,65 @@ class TestTupleDataset:
         assert frac > 0.7, frac
 
 
+@pytest.fixture(scope="module")
+def matterport_tree(tmp_path_factory):
+    """Matterport layout: scannet tree with per-image intrinsic/<id>.txt,
+    cx offset by 0.5*id so the test can detect which file was read."""
+    root = tmp_path_factory.mktemp("mpdata")
+    rng = np.random.default_rng(1)
+    scene = PlaneScene(rng, n_views=6, H=96, W=128)
+    write_scannet_format(scene, str(root), scene_name="17DRP5sb8fy_r0",
+                         split="train", dataset="matterport",
+                         per_image_intr_cx_step=0.5)
+    return str(os.path.join(root, "matterport")), scene
+
+
+class TestMatterportLayout:
+    def _check(self, ds, scene):
+        sample = ds[0]
+        assert sample["images"].shape == (2, 96, 128, 1)
+        assert sample["intr"].shape == (2, 4, 4)
+        assert sample["depths"].max() > 1.0
+        cx = scene.intr[0][0, 2]
+        for v, id in enumerate(sample["ids"]):
+            np.testing.assert_allclose(
+                sample["intr"][v][0, 2], cx + 0.5 * int(id), atol=1e-5
+            )
+
+    def test_per_image_intrinsics_python_path(self, matterport_tree):
+        root, scene = matterport_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=2, n_samples=4,
+                                  use_native=False)
+        assert len(ds) > 0
+        self._check(ds, scene)
+
+    def test_per_image_intrinsics_native_path(self, matterport_tree):
+        from e2e_multi_view_matching_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        root, scene = matterport_tree
+        ds = MatchingTupleDataset(root, split="train", tuple_size=2, n_samples=4,
+                                  use_native=True)
+        self._check(ds, scene)
+
+    def test_native_matches_python(self, matterport_tree):
+        from e2e_multi_view_matching_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        root, _ = matterport_tree
+        ds_py = MatchingTupleDataset(root, split="train", tuple_size=2,
+                                     n_samples=4, use_native=False, seed=7)
+        ds_nat = MatchingTupleDataset(root, split="train", tuple_size=2,
+                                      n_samples=4, use_native=True, seed=7)
+        a, b = ds_py[0], ds_nat[0]
+        assert a["ids"] == b["ids"]
+        np.testing.assert_allclose(a["intr"], b["intr"], atol=1e-5)
+        np.testing.assert_allclose(a["images"], b["images"], atol=2e-2)
+        np.testing.assert_allclose(a["depths"], b["depths"], atol=1e-3)
+
+
 class TestSampling:
     def test_sequential_subsets_cover(self):
         subsets = create_sequential_subsets(107, 25)
