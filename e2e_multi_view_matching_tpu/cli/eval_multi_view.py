@@ -24,7 +24,7 @@ from e2e_multi_view_matching_tpu.models.matcher import (
 from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPointConfig
 from e2e_multi_view_matching_tpu.mvba.pipeline import (
     MultiViewPipelineConfig,
-    multi_view_pose_pipeline,
+    multi_view_pose_pipeline_batch,
 )
 from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint, load_config
 from e2e_multi_view_matching_tpu.train.step import TrainState
@@ -45,6 +45,8 @@ def parse_args(argv=None):
                         help="CSV of fixed test tuples; defaults to assets/")
     parser.add_argument("--max_tuples", type=int, default=None)
     parser.add_argument("--sinkhorn_iterations", type=int, default=100)
+    parser.add_argument("--eval_batch", type=int, default=8,
+                        help="tuples evaluated per device dispatch")
     return parser.parse_args(argv)
 
 
@@ -68,48 +70,63 @@ def write_result(pose_errors, file):
 
 def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
              pipeline_cfg=MultiViewPipelineConfig()):
-    """Run the benchmark loop; returns (pose, transl, rot) error lists."""
+    """Run the benchmark loop; returns (pose, transl, rot) error lists.
+
+    Tuples are evaluated `opt.eval_batch` at a time: SuperPoint + matcher run
+    on a (B*V)-image / B-tuple batch and the pose pipeline is the batched
+    variant (two device dispatches per chunk instead of two per tuple)."""
     pose_errors = ([], [], [])
     V = opt.tuple_size
 
     @jax.jit
     def infer(sp_vars, m_vars, images, image_size, rng):
-        sp_out = superpoint.apply(sp_vars, images, rngs={"keypoints": rng})
-        kpts = sp_out["keypoints"][None]
-        scores = sp_out["scores"][None]
-        descs = sp_out["descriptors"][None]
+        # images (B, V, H, W, 1) -> one SuperPoint batch over all B*V frames
+        B = images.shape[0]
+        sp_out = superpoint.apply(
+            sp_vars, images.reshape((B * V,) + images.shape[2:]),
+            rngs={"keypoints": rng},
+        )
+        kpts = sp_out["keypoints"].reshape(B, V, -1, 2)
+        scores = sp_out["scores"].reshape(B, V, -1)
+        descs = sp_out["descriptors"].reshape(B, V, -1, descs_dim)
         out = matcher.apply(m_vars, kpts, scores, descs, image_size)
-        return kpts[0], out["matches0"][0], out["conf_scores"][0]
+        return kpts, out["matches0"], out["conf_scores"]
 
+    descs_dim = matcher.config.descriptor_dim
     rng = jax.random.PRNGKey(0)
     n = len(dataset) if opt.max_tuples is None else min(opt.max_tuples, len(dataset))
-    for idx in range(n):
-        sample = dataset[idx]
-        images = jnp.asarray(sample["images"])
-        H, W = images.shape[1:3]
-        image_size = jnp.full((1, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
+    eval_batch = max(1, getattr(opt, "eval_batch", 1))
+    for lo in range(0, n, eval_batch):
+        idxs = range(lo, min(lo + eval_batch, n))
+        samples = [dataset[i] for i in idxs]
+        B = len(samples)
+        images = jnp.asarray(np.stack([s["images"] for s in samples]))
+        H, W = images.shape[2:4]
+        image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
         rng, key = jax.random.split(rng)
         kpts, matches0, conf = infer(sp_vars, m_vars, images, image_size, key)
-        extr = multi_view_pose_pipeline(
-            kpts, sample["intr"][:, :3, :3], matches0, conf, pipeline_cfg
+        extr_b = multi_view_pose_pipeline_batch(
+            kpts, np.stack([s["intr"][:, :3, :3] for s in samples]),
+            matches0, conf, pipeline_cfg,
         )
-        for j in range(V):
-            for i in range(j):
-                pose0, pose1 = sample["poses"][i], sample["poses"][j]
-                T_gt = np.linalg.inv(pose1) @ pose0
-                T_pred = extr[j] @ np.linalg.inv(extr[i])
-                cos_r = np.clip((np.trace(T_gt[:3, :3].T @ T_pred[:3, :3]) - 1) / 2, -1, 1)
-                err_R = np.degrees(np.arccos(cos_r))
-                nrm = np.linalg.norm(T_gt[:3, 3]) * np.linalg.norm(T_pred[:3, 3])
-                if nrm > 1e-9:
-                    err_t = np.degrees(np.arccos(np.clip(
-                        T_gt[:3, 3] @ T_pred[:3, 3] / nrm, -1, 1)))
-                else:
-                    err_t = 0.0
-                pose_errors[0].append(max(err_t, err_R))
-                pose_errors[1].append(err_t)
-                pose_errors[2].append(err_R)
-        log.info("tuple %d/%d done", idx + 1, n)
+        for sample, extr in zip(samples, extr_b):
+            for j in range(V):
+                for i in range(j):
+                    pose0, pose1 = sample["poses"][i], sample["poses"][j]
+                    T_gt = np.linalg.inv(pose1) @ pose0
+                    T_pred = extr[j] @ np.linalg.inv(extr[i])
+                    cos_r = np.clip((np.trace(T_gt[:3, :3].T @ T_pred[:3, :3]) - 1) / 2, -1, 1)
+                    err_R = np.degrees(np.arccos(cos_r))
+                    nrm = np.linalg.norm(T_gt[:3, 3]) * np.linalg.norm(T_pred[:3, 3])
+                    if nrm > 1e-9:
+                        err_t = np.degrees(np.arccos(np.clip(
+                            T_gt[:3, 3] @ T_pred[:3, 3] / nrm, -1, 1)))
+                    else:
+                        err_t = 0.0
+                    pose_errors[0].append(max(err_t, err_R))
+                    pose_errors[1].append(err_t)
+                    pose_errors[2].append(err_R)
+        log.info("tuple %d/%d done", min(lo + eval_batch, n), n)
     return pose_errors
 
 

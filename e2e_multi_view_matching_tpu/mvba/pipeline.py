@@ -94,8 +94,7 @@ def robust_relative_poses(
     return T_rel, inlier_count, info.valid, conf_gated
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _global_stage(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j, w, cam_a, cam_b, cfg):
+def _global_stage_impl(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j, w, cam_a, cam_b, cfg):
     """Averaging + BA from tree-initialized extrinsics (single tuple).
 
     Args:
@@ -126,6 +125,118 @@ def _global_stage(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j, w, c
     return extr_ba
 
 
+_global_stage = partial(jax.jit, static_argnames=("cfg",))(_global_stage_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _global_stage_batch(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j,
+                        w, cam_a, cam_b, cfg):
+    """vmap of `_global_stage_impl` over a leading tuple axis.
+
+    Edge/camera index vectors are shared (same V, same pair order per tuple);
+    all solver loops are static-length `fori_loop`/`scan`, so the whole stage
+    vmaps into one batched program instead of B sequential dispatches.
+    """
+
+    def one(extr_tree, T_rel, edge_valid, x_i, x_j, w):
+        return _global_stage_impl(
+            extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j, w,
+            cam_a, cam_b, cfg,
+        )
+
+    return jax.vmap(one)(extr_tree, T_rel, edge_valid, x_i, x_j, w)
+
+
+def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
+                                   cfg=MultiViewPipelineConfig()):
+    """Estimate absolute extrinsics for a batch of view tuples.
+
+    Batched version of `multi_view_pose_pipeline`: stage A (robust relative
+    poses) runs once over all B*P pairs, the spanning trees are chained on the
+    host (tiny), and the averaging+BA stage is vmapped over tuples -- two
+    device dispatches total instead of two per tuple.
+
+    Args:
+        kpts: (B, V, K, 2) pixel keypoints per view.
+        intr: (B, V, 3, 3) or (B, V, 4, 4) intrinsics.
+        matches0: (B, P, K) int match index into view j per pair (the matcher's
+            `matches0`, pair order [(i, j) for j in range(V) for i in
+            range(j)]), -1 = unmatched.
+        conf: (B, P, K) per-match confidences of the pairs.
+        cfg: pipeline configuration.
+    Returns:
+        (B, V, 4, 4) numpy extrinsics (world->cam, camera 0 = identity frame).
+    """
+    kpts = jnp.asarray(kpts)
+    intr = jnp.asarray(intr)[..., :3, :3]
+    matches0 = jnp.asarray(matches0)
+    conf = jnp.asarray(conf)
+    B, V, K, _ = kpts.shape
+    pairs = _pair_list(V)
+    P = len(pairs)
+    idx_i = np.asarray([p[0] for p in pairs])
+    idx_j = np.asarray([p[1] for p in pairs])
+
+    # gather per-pair matched coordinates; invalid -> conf 0
+    kpts_i = kpts[:, idx_i]  # (B, P, K, 2)
+    gather = jnp.clip(matches0, 0, K - 1)
+    kpts_j = jnp.take_along_axis(kpts[:, idx_j], gather[..., None], axis=2)
+    valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
+    conf_m = jnp.where(valid, conf, 0.0)
+    intr_i = intr[:, idx_i]  # (B, P, 3, 3)
+    intr_j = intr[:, idx_j]
+
+    T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
+        kpts_i.reshape(B * P, K, 2), kpts_j.reshape(B * P, K, 2),
+        intr_i.reshape(B * P, 3, 3), intr_j.reshape(B * P, 3, 3),
+        conf_m.reshape(B * P, K), cfg.two_view_ba_iterations,
+    )
+
+    # host: one spanning tree per tuple over inlier counts
+    T_rel_np = np.asarray(T_rel).reshape(B, P, 4, 4)
+    counts_np = np.asarray(inlier_count).reshape(B, P)
+    valid_np = np.asarray(pose_valid).reshape(B, P)
+    extr_tree = np.zeros((B, V, 4, 4), np.float32)
+    edge_valid = np.zeros((B, P), bool)
+    for b in range(B):
+        rel_dict = {pairs[p]: T_rel_np[b, p] for p in range(P) if valid_np[b, p]}
+        cnt_dict = {pairs[p]: int(counts_np[b, p]) for p in range(P) if valid_np[b, p]}
+        extr_tree[b], tree = spanning_tree_poses(V, rel_dict, cnt_dict)
+        tree_set = set(tree)
+        # edges entering the averaging: successful pairs with enough inliers or
+        # on the tree (`bundle_adjust_io.py:185`)
+        edge_valid[b] = [
+            valid_np[b, p]
+            and (counts_np[b, p] >= cfg.min_inliers or pairs[p] in tree_set)
+            for p in range(P)
+        ]
+
+    # flatten observations: one point per match slot of every pair
+    x_i_n = normalize_keypoints(kpts_i, intr_i)  # (B, P, K, 2)
+    x_j_n = normalize_keypoints(kpts_j, intr_j)
+    cam_a = jnp.asarray(np.repeat(idx_i, K).astype(np.int32))
+    cam_b = jnp.asarray(np.repeat(idx_j, K).astype(np.int32))
+    # BA observations use the epipolar-inlier-gated confidences from stage A;
+    # the reference feeds raw matcher confidences to Ceres (plain weighted L2,
+    # no robust loss) and relies on the conf MLP alone to suppress outliers.
+    w_obs = conf_gated.reshape(B, P * K)
+
+    extr_ba = _global_stage_batch(
+        jnp.asarray(extr_tree),
+        jnp.asarray(idx_i.astype(np.int32)),
+        jnp.asarray(idx_j.astype(np.int32)),
+        T_rel.reshape(B, P, 4, 4),
+        jnp.asarray(edge_valid),
+        x_i_n.reshape(B, P * K, 2),
+        x_j_n.reshape(B, P * K, 2),
+        w_obs,
+        cam_a,
+        cam_b,
+        cfg,
+    )
+    return np.asarray(extr_ba)
+
+
 def multi_view_pose_pipeline(kpts, intr, matches0, conf, cfg=MultiViewPipelineConfig()):
     """Estimate absolute extrinsics for one view tuple.
 
@@ -140,67 +251,7 @@ def multi_view_pose_pipeline(kpts, intr, matches0, conf, cfg=MultiViewPipelineCo
     Returns:
         (V, 4, 4) numpy extrinsics (world->cam, camera 0 = identity frame).
     """
-    kpts = jnp.asarray(kpts)
-    intr = jnp.asarray(intr)[..., :3, :3]
-    matches0 = jnp.asarray(matches0)
-    conf = jnp.asarray(conf)
-    V, K, _ = kpts.shape
-    pairs = _pair_list(V)
-    P = len(pairs)
-    idx_i = np.asarray([p[0] for p in pairs])
-    idx_j = np.asarray([p[1] for p in pairs])
-
-    # gather per-pair matched coordinates; invalid -> conf 0
-    kpts_i = kpts[idx_i]  # (P, K, 2)
-    gather = jnp.clip(matches0, 0, K - 1)
-    kpts_j = jnp.take_along_axis(kpts[idx_j], gather[..., None], axis=1)
-    valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
-    conf_m = jnp.where(valid, conf, 0.0)
-
-    T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
-        kpts_i, kpts_j, intr[idx_i], intr[idx_j], conf_m,
-        cfg.two_view_ba_iterations,
-    )
-
-    # host: spanning tree over inlier counts
-    T_rel_np = np.asarray(T_rel)
-    counts_np = np.asarray(inlier_count)
-    valid_np = np.asarray(pose_valid)
-    rel_dict = {pairs[p]: T_rel_np[p] for p in range(P) if valid_np[p]}
-    cnt_dict = {pairs[p]: int(counts_np[p]) for p in range(P) if valid_np[p]}
-    extr_tree, tree = spanning_tree_poses(V, rel_dict, cnt_dict)
-    tree_set = set(tree)
-
-    # edges entering the averaging: successful pairs with enough inliers or on
-    # the tree (`bundle_adjust_io.py:185`)
-    edge_valid = np.asarray(
-        [
-            valid_np[p] and (counts_np[p] >= cfg.min_inliers or pairs[p] in tree_set)
-            for p in range(P)
-        ]
-    )
-
-    # flatten observations: one point per match slot of every pair
-    x_i_n = normalize_keypoints(kpts_i, intr[idx_i])  # (P, K, 2)
-    x_j_n = normalize_keypoints(kpts_j, intr[idx_j])
-    cam_a = jnp.asarray(np.repeat(idx_i, K).astype(np.int32))
-    cam_b = jnp.asarray(np.repeat(idx_j, K).astype(np.int32))
-    # BA observations use the epipolar-inlier-gated confidences from stage A;
-    # the reference feeds raw matcher confidences to Ceres (plain weighted L2,
-    # no robust loss) and relies on the conf MLP alone to suppress outliers.
-    w_obs = conf_gated.reshape(P * K)
-
-    extr_ba = _global_stage(
-        jnp.asarray(extr_tree),
-        jnp.asarray(idx_i.astype(np.int32)),
-        jnp.asarray(idx_j.astype(np.int32)),
-        T_rel,
-        jnp.asarray(edge_valid),
-        x_i_n.reshape(P * K, 2),
-        x_j_n.reshape(P * K, 2),
-        w_obs,
-        cam_a,
-        cam_b,
-        cfg,
-    )
-    return np.asarray(extr_ba)
+    return multi_view_pose_pipeline_batch(
+        jnp.asarray(kpts)[None], jnp.asarray(intr)[None],
+        jnp.asarray(matches0)[None], jnp.asarray(conf)[None], cfg,
+    )[0]

@@ -6,6 +6,7 @@ from e2e_multi_view_matching_tpu.data.synthetic import PlaneScene
 from e2e_multi_view_matching_tpu.mvba.pipeline import (
     MultiViewPipelineConfig,
     multi_view_pose_pipeline,
+    multi_view_pose_pipeline_batch,
 )
 
 
@@ -75,6 +76,28 @@ class TestMultiViewPipeline:
                 max_t = max(max_t, transl_angle_deg(T_gt[:3, 3], T_pred[:3, 3]))
         assert max_r < 1.0, max_r
         assert max_t < 5.0, max_t
+
+    def test_batched_matches_sequential(self, rng):
+        """The batched pipeline reproduces per-tuple results (same solvers,
+        vmapped; 5e-4 covers f32 reduction-order noise) and stays accurate."""
+        cases = [build_tuple_case(rng) for _ in range(3)]
+        intr = np.tile(cases[0][0].intr[0].astype(np.float32), (3, 5, 1, 1))
+        kpts = np.stack([c[1] for c in cases])
+        matches0 = np.stack([c[2] for c in cases])
+        conf = np.stack([c[3] for c in cases])
+        extr_b = multi_view_pose_pipeline_batch(kpts, intr, matches0, conf)
+        assert extr_b.shape == (3, 5, 4, 4)
+        for b, (scene, k, m, c) in enumerate(cases):
+            extr_s = multi_view_pose_pipeline(k, intr[b], m, c)
+            np.testing.assert_allclose(extr_b[b], extr_s, atol=5e-4)
+            max_r = max(
+                rot_err_deg(
+                    scene.relative_pose(i, j)[:3, :3],
+                    (extr_b[b, j] @ np.linalg.inv(extr_b[b, i]))[:3, :3],
+                )
+                for j in range(5) for i in range(j)
+            )
+            assert max_r < 1.0, (b, max_r)
 
     def test_runs_with_sparse_matches(self, rng):
         """Pairs with almost no matches must not break the pipeline."""
