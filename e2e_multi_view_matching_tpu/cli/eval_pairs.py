@@ -48,6 +48,8 @@ def parse_args(argv=None):
                                  "w8pt_irls_ba"])
     parser.add_argument("--max_pairs", type=int, default=None)
     parser.add_argument("--sinkhorn_iterations", type=int, default=100)
+    parser.add_argument("--eval_batch", type=int, default=8,
+                        help="same-shape pairs evaluated per device dispatch")
     parser.add_argument("--assets_dir", type=str, default=None,
                         help="directory holding the LoFTR/SuperGlue pair lists "
                              "(default: <repo>/assets)")
@@ -88,66 +90,35 @@ def relative_pose_errors(T_gt, R, t):
 
 
 def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
-    """Benchmark loop over pairs; returns pose error list + failure count."""
+    """Benchmark loop over pairs; returns pose error list + failure count.
+
+    Pairs sharing the same image shapes run `opt.eval_batch` at a time:
+    SuperPoint, the matcher, and the `w8pt*` pose solvers all dispatch once per
+    chunk (the reference's loop and the previous version here ran per pair --
+    `eval_pairs.py:210`). Differently-shaped pairs flush the current chunk, so
+    uniform-shape datasets (scannet 480x640) batch fully while variable-shape
+    ones degrade gracefully to smaller chunks. Host RANSAC stays per-pair.
+    """
     # conf threshold: ransac modes filter at 0.02, weighted modes use all
     # (`eval_pairs.py:152`)
     match_threshold = 0.02 if "ransac" in opt.eval_mode else 0.0
-    pose_errors = []
+    pose_errors = {}
     cannot_compute = 0
 
-    def infer(images0, images1, size0, size1):
-        """Two images (possibly different shapes) -> matcher outputs."""
-        sp0 = superpoint.apply(sp_vars, images0[None])
-        sp1 = superpoint.apply(sp_vars, images1[None])
-        kpts = jnp.stack([sp0["keypoints"][0], sp1["keypoints"][0]])[None]
-        scores = jnp.stack([sp0["scores"][0], sp1["scores"][0]])[None]
-        descs = jnp.stack([sp0["descriptors"][0], sp1["descriptors"][0]])[None]
-        image_size = jnp.asarray([[size0, size1]], dtype=jnp.float32)
+    @jax.jit
+    def infer_batch(images0, images1, image_size):
+        """(B, H0, W0, 1) x (B, H1, W1, 1) -> per-pair matcher outputs."""
+        sp0 = superpoint.apply(sp_vars, images0)
+        sp1 = superpoint.apply(sp_vars, images1)
+        kpts = jnp.stack([sp0["keypoints"], sp1["keypoints"]], axis=1)
+        scores = jnp.stack([sp0["scores"], sp1["scores"]], axis=1)
+        descs = jnp.stack([sp0["descriptors"], sp1["descriptors"]], axis=1)
         out = matcher.apply(m_vars, kpts, scores, descs, image_size)
-        return (kpts[0], out["matches0"][0, 0], out["conf_scores"][0, 0])
+        return kpts, out["matches0"][:, 0], out["conf_scores"][:, 0]
 
-    n = len(dataset) if opt.max_pairs is None else min(opt.max_pairs, len(dataset))
-    for i in range(n):
-        data = dataset[i]
-        # different image shapes trigger per-shape recompiles (the reference's
-        # merge=False list path, `eval_pairs.py:210`); pad-to-bucket if needed.
-        kpts, matches, conf = infer(
-            jnp.asarray(data["image0"]), jnp.asarray(data["image1"]),
-            data["image0"].shape[:2], data["image1"].shape[:2],
-        )
-        kpts = np.asarray(kpts)
-        matches = np.asarray(matches)
-        conf = np.asarray(conf)
-        K0 = data["intr0"][:3, :3]
-        K1 = data["intr1"][:3, :3]
-        T_gt = data["T021"]
-
-        valid = matches >= 0
-        conf_mask = valid & (conf > match_threshold)
-        ret = None
-        if opt.eval_mode in ("ransac", "ransac_ba"):
-            mk0 = kpts[0][conf_mask]
-            mk1 = kpts[1][np.clip(matches, 0, len(kpts[1]) - 1)][conf_mask]
-            ret = estimate_pose_ransac(mk0, mk1, K0, K1)
-            if ret is not None and opt.eval_mode == "ransac_ba":
-                R, t, inliers = ret
-                T_init = np.eye(4, dtype=np.float32)
-                T_init[:3, :3] = R
-                T_init[:3, 3] = t
-                k0n = (mk0[inliers] - K0[[0, 1], [2, 2]]) / K0[[0, 1], [0, 1]]
-                k1n = (mk1[inliers] - K1[[0, 1], [2, 2]]) / K1[[0, 1], [0, 1]]
-                nI = int(inliers.sum())
-                cba = conf[conf_mask][inliers]
-                T_ref, ok = bundle_adjust_two_view(
-                    jnp.asarray(k0n[None].astype(np.float32)),
-                    jnp.asarray(k1n[None].astype(np.float32)),
-                    jnp.asarray(cba[None]), jnp.asarray(T_init[None]),
-                    n_iterations=10,
-                )
-                if bool(ok[0]):
-                    T_np = np.asarray(T_ref[0])
-                    ret = (T_np[:3, :3], T_np[:3, 3], inliers)
-        elif opt.eval_mode == "w8pt_irls_ba":
+    def pose_w8pt_batch(kpts, mk1, K0, K1, conf_w):
+        """Batched w8pt / w8pt_ba / w8pt_irls_ba over a chunk."""
+        if opt.eval_mode == "w8pt_irls_ba":
             # robust variant (beyond the reference): epipolar-inlier-gated
             # IRLS re-estimation + BA; AUC@20 14.9 -> 70.0 on the synthetic
             # oracle benchmark vs the plain weighted solve
@@ -155,46 +126,106 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
                 robust_relative_poses,
             )
 
-            conf_w = np.where(conf_mask, conf, 0.0).astype(np.float32)
-            gather = np.clip(matches, 0, len(kpts[1]) - 1)
-            mk1 = kpts[1][gather]
             T_rel, _, valid_r, _ = robust_relative_poses(
-                jnp.asarray(kpts[0][None]), jnp.asarray(mk1[None]),
-                jnp.asarray(K0[None]), jnp.asarray(K1[None]),
-                jnp.asarray(conf_w[None]), 10,
+                kpts[:, 0], mk1, K0, K1, conf_w, 10
             )
-            if bool(valid_r[0]):
-                T_np = np.asarray(T_rel[0])
-                ret = (T_np[:3, :3], T_np[:3, 3], None)
-        else:  # w8pt / w8pt_ba -- fully on-device
-            conf_w = np.where(conf_mask, conf, 0.0).astype(np.float32)
-            gather = np.clip(matches, 0, len(kpts[1]) - 1)
-            mk1 = kpts[1][gather]
-            T_w8, info = estimate_relative_pose_w8pt(
-                jnp.asarray(kpts[0][None]), jnp.asarray(mk1[None]),
-                jnp.asarray(K0[None]), jnp.asarray(K1[None]),
-                jnp.asarray(conf_w[None]), determine_inliers=True,
+            return T_rel, valid_r
+        T_w8, info = estimate_relative_pose_w8pt(
+            kpts[:, 0], mk1, K0, K1, conf_w, determine_inliers=True
+        )
+        T_pred = T_w8
+        if opt.eval_mode == "w8pt_ba":
+            conf_ba = jnp.where(info.pos_depth_mask, info.confidence, 0.0)
+            T_ba, ok = bundle_adjust_two_view(
+                info.kpts0_norm, info.kpts1_norm, conf_ba, T_w8, n_iterations=10
             )
-            T_pred = T_w8
-            if bool(info.valid[0]):
-                if opt.eval_mode == "w8pt_ba":
-                    conf_ba = jnp.where(info.pos_depth_mask, info.confidence, 0.0)
-                    T_ba, ok = bundle_adjust_two_view(
-                        info.kpts0_norm, info.kpts1_norm, conf_ba, T_w8,
+            T_pred = jnp.where(ok[:, None, None], T_ba, T_w8)
+        return T_pred, info.valid
+
+    def flush(chunk):
+        nonlocal cannot_compute
+        if not chunk:
+            return
+        idxs = [c[0] for c in chunk]
+        datas = [c[1] for c in chunk]
+        images0 = jnp.asarray(np.stack([d["image0"] for d in datas]))
+        images1 = jnp.asarray(np.stack([d["image1"] for d in datas]))
+        sizes = jnp.asarray(
+            [[d["image0"].shape[:2], d["image1"].shape[:2]] for d in datas],
+            dtype=jnp.float32,
+        )
+        kpts_b, matches_b, conf_b = infer_batch(images0, images1, sizes)
+        kpts_b = np.asarray(kpts_b)
+        matches_b = np.asarray(matches_b)
+        conf_b = np.asarray(conf_b)
+        K0 = np.stack([d["intr0"][:3, :3] for d in datas])
+        K1 = np.stack([d["intr1"][:3, :3] for d in datas])
+        conf_mask = (matches_b >= 0) & (conf_b > match_threshold)
+
+        rets = [None] * len(chunk)
+        if opt.eval_mode in ("ransac", "ransac_ba"):
+            for b in range(len(chunk)):
+                kpts, matches, conf = kpts_b[b], matches_b[b], conf_b[b]
+                mk0 = kpts[0][conf_mask[b]]
+                mk1 = kpts[1][np.clip(matches, 0, len(kpts[1]) - 1)][conf_mask[b]]
+                ret = estimate_pose_ransac(mk0, mk1, K0[b], K1[b])
+                if ret is not None and opt.eval_mode == "ransac_ba":
+                    R, t, inliers = ret
+                    T_init = np.eye(4, dtype=np.float32)
+                    T_init[:3, :3] = R
+                    T_init[:3, 3] = t
+                    k0n = (mk0[inliers] - K0[b][[0, 1], [2, 2]]) / K0[b][[0, 1], [0, 1]]
+                    k1n = (mk1[inliers] - K1[b][[0, 1], [2, 2]]) / K1[b][[0, 1], [0, 1]]
+                    cba = conf[conf_mask[b]][inliers]
+                    T_ref, ok = bundle_adjust_two_view(
+                        jnp.asarray(k0n[None].astype(np.float32)),
+                        jnp.asarray(k1n[None].astype(np.float32)),
+                        jnp.asarray(cba[None]), jnp.asarray(T_init[None]),
                         n_iterations=10,
                     )
-                    T_pred = jnp.where(ok[:, None, None], T_ba, T_w8)
-                T_np = np.asarray(T_pred[0])
-                ret = (T_np[:3, :3], T_np[:3, 3], None)
+                    if bool(ok[0]):
+                        T_np = np.asarray(T_ref[0])
+                        ret = (T_np[:3, :3], T_np[:3, 3], inliers)
+                rets[b] = ret
+        else:  # w8pt family -- fully on-device, batched over the chunk
+            conf_w = np.where(conf_mask, conf_b, 0.0).astype(np.float32)
+            gather = np.clip(matches_b, 0, kpts_b.shape[2] - 1)
+            mk1 = np.take_along_axis(kpts_b[:, 1], gather[..., None], axis=1)
+            T_pred, valid_p = pose_w8pt_batch(
+                jnp.asarray(kpts_b), jnp.asarray(mk1), jnp.asarray(K0),
+                jnp.asarray(K1), jnp.asarray(conf_w),
+            )
+            T_pred = np.asarray(T_pred)
+            valid_p = np.asarray(valid_p)
+            for b in range(len(chunk)):
+                if bool(valid_p[b]):
+                    rets[b] = (T_pred[b][:3, :3], T_pred[b][:3, 3], None)
 
-        if ret is None:
-            err_t, err_R = np.inf, np.inf
-            cannot_compute += 1
-        else:
-            err_t, err_R = relative_pose_errors(T_gt, ret[0], ret[1])
-            log.info("%4d: rot %5.1f deg\tt %5.1f deg", i, err_R, err_t)
-        pose_errors.append(max(err_t, err_R))
-    return pose_errors, cannot_compute
+        for b, (i, data) in enumerate(zip(idxs, datas)):
+            if rets[b] is None:
+                err_t, err_R = np.inf, np.inf
+                cannot_compute += 1
+            else:
+                err_t, err_R = relative_pose_errors(
+                    data["T021"], rets[b][0], rets[b][1]
+                )
+                log.info("%4d: rot %5.1f deg\tt %5.1f deg", i, err_R, err_t)
+            pose_errors[i] = max(err_t, err_R)
+
+    n = len(dataset) if opt.max_pairs is None else min(opt.max_pairs, len(dataset))
+    eval_batch = max(1, getattr(opt, "eval_batch", 1))
+    chunk = []
+    chunk_shapes = None
+    for i in range(n):
+        data = dataset[i]
+        shapes = (data["image0"].shape, data["image1"].shape)
+        if chunk and (shapes != chunk_shapes or len(chunk) >= eval_batch):
+            flush(chunk)
+            chunk = []
+        chunk_shapes = shapes
+        chunk.append((i, data))
+    flush(chunk)
+    return [pose_errors[i] for i in range(n)], cannot_compute
 
 
 def main(argv=None):
