@@ -109,3 +109,48 @@ def test_eval_multi_view_cli(eval_env):
     ])
     assert "pose_AUC@5deg" in result
     assert os.path.exists(os.path.join(ckpt_root, "testexp", "multi_view_scannet.json"))
+
+
+def test_eval_pairs_batched_matches_sequential(eval_env):
+    """evaluate() must give identical, finite per-pair errors for any
+    --eval_batch (chunked batched inference + batched w8pt solves)."""
+    data_root, _, assets_root = eval_env
+    from types import SimpleNamespace
+
+    import optax  # noqa: F401  (kept parallel to the CLI's imports)
+
+    from e2e_multi_view_matching_tpu.cli import eval_pairs
+    from e2e_multi_view_matching_tpu.data.pairs import PairMatchingDataset
+    from e2e_multi_view_matching_tpu.models.matcher import (
+        MatcherConfig, MultiViewMatcher, default_gnn_layers,
+    )
+    from e2e_multi_view_matching_tpu.models.superpoint import (
+        SuperPoint, SuperPointConfig,
+    )
+
+    sp = SuperPoint(SuperPointConfig(
+        nms_radius=4, keypoint_threshold=1e-4, max_keypoints=1024,
+        remove_borders=8, fill_with_random_keypoints=False,
+    ))
+    # match_threshold=0 so the untrained matcher still yields >= 8 weighted
+    # matches and the w8pt solve actually runs (finite errors, not inf)
+    matcher = MultiViewMatcher(MatcherConfig(
+        gnn_layers=default_gnn_layers(2, 1), sinkhorn_iterations=10,
+        conf_mlp=True, match_threshold=0.0,
+    ))
+    key = jax.random.PRNGKey(0)
+    sp_vars = sp.init({"params": key, "keypoints": key}, jnp.zeros((2, 64, 64, 1)))
+    m_vars = matcher.init(key, jnp.zeros((1, 2, 1024, 2)), jnp.zeros((1, 2, 1024)),
+                          jnp.zeros((1, 2, 1024, 256)), jnp.full((1, 2, 2), 96.0))
+    ds = PairMatchingDataset(
+        os.path.join(data_root, "scannet"),
+        [os.path.join(assets_root, "scannet_test_1500", "test.npz")],
+        720, "scannet",
+    )
+    errs = {}
+    for eb in (1, 3):
+        opt = SimpleNamespace(eval_mode="w8pt_ba", max_pairs=4, eval_batch=eb)
+        errs[eb], cannot = eval_pairs.evaluate(opt, sp, sp_vars, matcher, m_vars, ds)
+        assert cannot == 0, "w8pt solve failed; comparison would be vacuous"
+        assert np.all(np.isfinite(errs[eb]))
+    np.testing.assert_allclose(errs[1], errs[3], atol=0.02)  # degrees
