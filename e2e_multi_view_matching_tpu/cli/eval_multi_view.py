@@ -47,6 +47,13 @@ def parse_args(argv=None):
     parser.add_argument("--sinkhorn_iterations", type=int, default=100)
     parser.add_argument("--eval_batch", type=int, default=8,
                         help="tuples evaluated per device dispatch")
+    parser.add_argument("--allow_resampled_tuples", action="store_true",
+                        help="permit evaluating freshly sampled tuples when the "
+                             "fixed benchmark CSV is absent (NOT the benchmark)")
+    parser.add_argument("--allow_random_superpoint", action="store_true",
+                        help="permit running with freshly initialized SuperPoint "
+                             "weights when superpoint.ckpt is absent (meaningless "
+                             "AUC; debugging only)")
     return parser.parse_args(argv)
 
 
@@ -177,6 +184,14 @@ def main(argv=None):
 
         with open(sp_path, "rb") as f:
             sp_vars = serialization.from_bytes(sp_vars, f.read())
+    elif not opt.allow_random_superpoint:
+        raise FileNotFoundError(
+            f"SuperPoint weights not found: {sp_path}. A benchmark run with "
+            "random detector weights is meaningless; import pretrained weights "
+            "(models/torch_import.py) or pass --allow_random_superpoint."
+        )
+    else:
+        log.warning("superpoint.ckpt absent; using RANDOM SuperPoint weights")
 
     dataset_dir = os.path.join(opt.data_dir, opt.dataset)
     test_dataset = MatchingTupleDataset(
@@ -189,6 +204,18 @@ def main(argv=None):
     )
     if os.path.exists(tuple_file):
         test_dataset.read_sampled_tuples(tuple_file)
+    elif opt.test_tuple_file is not None or not opt.allow_resampled_tuples:
+        # The benchmark is defined by the fixed tuple list (reference
+        # `assets/*_test_5tuples.csv`); silently resampling would measure a
+        # different thing. Opt in explicitly to evaluate on fresh tuples.
+        raise FileNotFoundError(
+            f"fixed test-tuple CSV not found: {tuple_file}. Pass "
+            "--test_tuple_file or --allow_resampled_tuples to evaluate on "
+            "freshly sampled (non-benchmark) tuples."
+        )
+    else:
+        log.warning("no fixed tuple CSV; evaluating on RESAMPLED tuples "
+                    "(not the reference benchmark)")
     log.info("loaded %d test tuples", len(test_dataset))
 
     pose_errors = evaluate(opt, superpoint, sp_vars, matcher, m_vars, test_dataset)

@@ -53,6 +53,10 @@ def parse_args(argv=None):
     parser.add_argument("--assets_dir", type=str, default=None,
                         help="directory holding the LoFTR/SuperGlue pair lists "
                              "(default: <repo>/assets)")
+    parser.add_argument("--allow_random_superpoint", action="store_true",
+                        help="permit running with freshly initialized SuperPoint "
+                             "weights when superpoint.ckpt is absent (meaningless "
+                             "AUC; debugging only)")
     return parser.parse_args(argv)
 
 
@@ -279,6 +283,14 @@ def main(argv=None):
 
         with open(sp_path, "rb") as f:
             sp_vars = serialization.from_bytes(sp_vars, f.read())
+    elif not opt.allow_random_superpoint:
+        raise FileNotFoundError(
+            f"SuperPoint weights not found: {sp_path}. A benchmark run with "
+            "random detector weights is meaningless; import pretrained weights "
+            "(models/torch_import.py) or pass --allow_random_superpoint."
+        )
+    else:
+        log.warning("superpoint.ckpt absent; using RANDOM SuperPoint weights")
 
     dataset_dir = os.path.join(opt.data_dir, opt.dataset)
     dataset = PairMatchingDataset(dataset_dir, input_files, img_size, ds_key)

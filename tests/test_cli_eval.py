@@ -69,6 +69,7 @@ def test_eval_pairs_cli(eval_env):
         "--dataset", "scannet", "--exp_name", "testexp",
         "--eval_mode", "w8pt_ba", "--max_pairs", "2",
         "--sinkhorn_iterations", "10", "--assets_dir", assets_root,
+        "--allow_random_superpoint",
     ])
     assert set(result) == {"AUC@5deg", "AUC@10deg", "AUC@20deg"}
     out_json = os.path.join(ckpt_root, "testexp", "two_view_w8pt_ba_scannet.json")
@@ -84,6 +85,7 @@ def test_eval_pairs_cli_ransac(eval_env):
         "--dataset", "scannet", "--exp_name", "testexp",
         "--eval_mode", "ransac", "--max_pairs", "1",
         "--sinkhorn_iterations", "10", "--assets_dir", assets_root,
+        "--allow_random_superpoint",
     ])
     assert "AUC@5deg" in result
 
@@ -105,7 +107,7 @@ def test_eval_multi_view_cli(eval_env):
         "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
         "--dataset", "scannet", "--tuple_size", "3", "--exp_name", "testexp",
         "--test_tuple_file", tuple_csv, "--max_tuples", "1",
-        "--sinkhorn_iterations", "10",
+        "--sinkhorn_iterations", "10", "--allow_random_superpoint",
     ])
     assert "pose_AUC@5deg" in result
     assert os.path.exists(os.path.join(ckpt_root, "testexp", "multi_view_scannet.json"))
@@ -154,3 +156,32 @@ def test_eval_pairs_batched_matches_sequential(eval_env):
         assert cannot == 0, "w8pt solve failed; comparison would be vacuous"
         assert np.all(np.isfinite(errs[eb]))
     np.testing.assert_allclose(errs[1], errs[3], atol=0.02)  # degrees
+
+
+def test_eval_cli_fails_loudly_without_superpoint_ckpt(eval_env):
+    """Benchmarks must not silently run a random detector (VERDICT weak #7)."""
+    data_root, ckpt_root, assets_root = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_pairs
+
+    with pytest.raises(FileNotFoundError, match="SuperPoint weights"):
+        eval_pairs.main([
+            "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+            "--dataset", "scannet", "--exp_name", "testexp",
+            "--eval_mode", "w8pt", "--max_pairs", "1",
+            "--sinkhorn_iterations", "10", "--assets_dir", assets_root,
+        ])
+
+
+def test_eval_multi_view_fails_loudly_without_tuple_csv(eval_env, tmp_path):
+    """Missing fixed-tuple CSV must error, not silently resample."""
+    data_root, ckpt_root, _ = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_multi_view
+
+    with pytest.raises(FileNotFoundError, match="tuple CSV"):
+        eval_multi_view.main([
+            "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+            "--dataset", "scannet", "--tuple_size", "3", "--exp_name", "testexp",
+            "--test_tuple_file", str(tmp_path / "missing.csv"),
+            "--max_tuples", "1", "--sinkhorn_iterations", "10",
+            "--allow_random_superpoint",
+        ])
