@@ -28,7 +28,12 @@ from e2e_multi_view_matching_tpu.models.matcher import (
     default_gnn_layers,
 )
 from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPointConfig
-from e2e_multi_view_matching_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from e2e_multi_view_matching_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_state,
+)
 from e2e_multi_view_matching_tpu.train.checkpoint import (
     load_checkpoint,
     load_config,
@@ -193,8 +198,12 @@ def main(argv=None):
     train_step = jax.jit(make_train_step(superpoint, matcher, tx, opt))
     eval_step = jax.jit(make_eval_step(superpoint, matcher, opt))
 
+    # each process feeds its slice of the global batch (DistributedSampler role)
+    proc_idx, proc_cnt = jax.process_index(), jax.process_count()
     with mesh:
-        state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        # params + optimizer moments tp-sharded over "model" (replicated when
+        # --model_parallel 1); the frozen SuperPoint stays replicated
+        state = shard_state(state, mesh)
         sp_vars = replicate(sp_vars, mesh)
 
         val_subsets = create_sequential_subsets(len(val_dataset), 60000)
@@ -208,7 +217,8 @@ def main(argv=None):
                 train_dataset.start_epoch()
             time_tracker.start_epoch()
             for i, batch in enumerate(batch_iterator(
-                train_dataset, global_batch, shuffle=True, seed=epoch
+                train_dataset, global_batch, shuffle=True, seed=epoch,
+                process_index=proc_idx, process_count=proc_cnt,
             )):
                 time_tracker.start_batch()
                 rng_key, step_key = jax.random.split(rng_key)
@@ -243,7 +253,8 @@ def main(argv=None):
             subset = val_subsets[val_subset_idx]
             val_subset_idx = (val_subset_idx + 1) % len(val_subsets)
             for batch in batch_iterator(
-                val_dataset, global_batch, shuffle=False, indices=subset.copy()
+                val_dataset, global_batch, shuffle=False, indices=subset.copy(),
+                process_index=proc_idx, process_count=proc_cnt,
             ):
                 rng_key, step_key = jax.random.split(rng_key)
                 device_batch = shard_batch(
@@ -251,10 +262,18 @@ def main(argv=None):
                 )
                 m = eval_step(state, sp_vars, device_batch, step_key)
                 val_metrics.add({k: float(v) for k, v in m.items()})
+            # val_loss is already the GLOBAL mean: eval_step consumes the
+            # globally sharded batch under jit, so the scalar it returns is
+            # replicated across processes -- the single-controller equivalent
+            # of the reference's explicit all_reduce (`train.py:105`).
             val_loss = val_metrics.get("val_loss") if val_metrics.has("val_loss") else float("inf")
             if is_main:
                 log.info("epoch %3d | val loss %.4f", epoch, val_loss)
                 tb.scalars("loss", {"val": val_loss}, global_step)
+                # validation-side component scalars (`train.py:112-121`)
+                for k in ("match_loss", "rot_loss", "transl_loss"):
+                    if val_metrics.has(k):
+                        tb.scalars(k, {"val": val_metrics.get(k)}, global_step)
                 names = ["last_model.ckpt", f"{epoch:06d}_model.ckpt"]
                 if val_loss < min_val_loss:
                     min_val_loss = val_loss

@@ -308,18 +308,30 @@ class MatchingTupleDataset:
 
 
 def batch_iterator(dataset, batch_size, shuffle=True, drop_last=True, seed=0,
-                   prefetch=2, indices=None):
+                   prefetch=2, indices=None, process_index=0, process_count=1):
     """Threaded prefetching batcher producing stacked numpy batches.
 
     Replaces the torch DataLoader worker pool (`train.py:319-330`) on the host
     side; device transfer happens in the train loop via `shard_batch`.
+
+    Multi-process: `batch_size` is the GLOBAL batch; every process derives the
+    same shuffled index order (identical seed) and loads only its
+    `batch_size / process_count` slice of each batch -- the reference's
+    `DistributedSampler` role (`train.py:318`). The global device array is
+    assembled in `parallel/mesh.py::shard_batch`.
     """
+    if batch_size % process_count != 0:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {process_count} processes"
+        )
     if indices is None:
         indices = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(indices)
     n = len(indices)
     n_batches = n // batch_size if drop_last else -(-n // batch_size)
+    per_proc = batch_size // process_count
+    lo_proc = process_index * per_proc
 
     def collate(idx_chunk):
         samples = [dataset[int(i)] for i in idx_chunk]
@@ -338,6 +350,10 @@ def batch_iterator(dataset, batch_size, shuffle=True, drop_last=True, seed=0,
     def producer():
         for b in range(n_batches):
             chunk = indices[b * batch_size : (b + 1) * batch_size]
+            # this process's slice of the global batch (full batch when
+            # process_count == 1); the final non-dropped batch may be short --
+            # slice within its actual length
+            chunk = chunk[lo_proc : lo_proc + per_proc] if process_count > 1 else chunk
             q.put(collate(chunk))
         q.put(stop)
 

@@ -179,3 +179,27 @@ class TestSampling:
         assert len(all_idx) == 107
         np.testing.assert_array_equal(np.sort(all_idx), np.arange(107))
         assert all(len(s) in (26, 27) for s in subsets)
+
+
+def test_batch_iterator_process_sharding(scannet_tree):
+    """Per-process slices of the global batch concatenate to the single-process
+    batch, in order (the DistributedSampler contract, reference train.py:318)."""
+    root, _ = scannet_tree
+    ds = MatchingTupleDataset(root, split="train", tuple_size=2, n_samples=4)
+    full = list(batch_iterator(ds, 4, shuffle=True, seed=3))
+    parts = [
+        list(batch_iterator(ds, 4, shuffle=True, seed=3,
+                            process_index=p, process_count=2))
+        for p in range(2)
+    ]
+    assert len(full) == len(parts[0]) == len(parts[1])
+    for b, (p0, p1) in enumerate(zip(*parts)):
+        assert p0["images"].shape[0] == p1["images"].shape[0] == 2
+        np.testing.assert_array_equal(
+            np.concatenate([p0["images"], p1["images"]]), full[b]["images"])
+        np.testing.assert_array_equal(
+            np.concatenate([p0["poses"], p1["poses"]]), full[b]["poses"])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        next(iter(batch_iterator(ds, 4, process_count=3)))
