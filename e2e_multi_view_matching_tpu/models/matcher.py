@@ -48,7 +48,9 @@ class MatcherConfig:
     gnn_layers: Tuple[str, ...] = field(default_factory=default_gnn_layers)
     num_heads: int = 4
     sinkhorn_iterations: int = 100
-    sinkhorn_impl: str = "xla"  # "xla" | "pallas" (VMEM-resident TPU kernel)
+    sinkhorn_impl: str = "xla"  # "xla" (log-domain scan) | "mxu" (stabilized
+    # scaling-domain: matvec iterations on the MXU, ~5x faster at K=1024)
+    # | "pallas" (VMEM-resident TPU kernel)
     attention_impl: str = "xla"  # "xla" | "pallas" (fused masked attention,
     # 1.7x faster at the eval config; hardware outputs agree with XLA to ~4e-4
     # -- f32 reduction-order noise, validated at V=5 K=1024)
@@ -214,7 +216,8 @@ class MultiViewMatcher(nn.Module):
             ).reshape(B, P, K + 1, K + 1)
         else:
             log_p = log_optimal_transport(
-                pair_scores.reshape(B * P, K, K), bin_score, cfg.sinkhorn_iterations
+                pair_scores.reshape(B * P, K, K), bin_score,
+                cfg.sinkhorn_iterations, impl=cfg.sinkhorn_impl,
             ).reshape(B, P, K + 1, K + 1)
 
         out = {"log_assignment": log_p, "pairs": pairs}

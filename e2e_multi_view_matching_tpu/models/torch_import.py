@@ -130,20 +130,33 @@ def import_matcher(state_dict, gnn_layers):
 
     conf_keys = sorted(k for k in sd if k.startswith("conf_mlp"))
     if conf_keys:
-        # positional mapping of the fork's conf head (conv1d stack assumed)
+        # positional mapping of the fork's conf head: conv1d layers in
+        # sequential-module order, each optionally followed by a BatchNorm1d
+        # (detected by its running stats) which maps onto our MLP's bn_{i}
         prefix = conf_keys[0].split(".")[0]
         layers = sorted(
             {int(k.split(".")[1]) for k in conf_keys if k.split(".")[1].isdigit()}
         )
         conv_layers = [i for i in layers if f"{prefix}.{i}.weight" in sd
                        and np.asarray(sd[f"{prefix}.{i}.weight"]).ndim == 3]
-        conf_p = {}
+        conf_p, conf_s = {}, {}
         for li, ci in enumerate(conv_layers):
             conf_p[f"dense_{li}"] = {
                 "kernel": _conv1d_to_dense(np.asarray(sd[f"{prefix}.{ci}.weight"])),
                 "bias": np.asarray(sd[f"{prefix}.{ci}.bias"]),
             }
+            if f"{prefix}.{ci + 1}.running_mean" in sd:
+                conf_p[f"bn_{li}"] = {
+                    "scale": np.asarray(sd[f"{prefix}.{ci + 1}.weight"]),
+                    "bias": np.asarray(sd[f"{prefix}.{ci + 1}.bias"]),
+                }
+                conf_s[f"bn_{li}"] = {
+                    "mean": np.asarray(sd[f"{prefix}.{ci + 1}.running_mean"]),
+                    "var": np.asarray(sd[f"{prefix}.{ci + 1}.running_var"]),
+                }
         params["conf_mlp"] = conf_p
+        if conf_s:
+            stats["conf_mlp"] = conf_s
 
     out = {"params": params}
     if stats:

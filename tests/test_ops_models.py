@@ -62,6 +62,40 @@ class TestSinkhorn:
         g = jax.grad(loss)(scores)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_mxu_impl_matches_xla(self, rng):
+        """The scaling-domain MXU path reproduces the log-domain plan and its
+        gradients (custom VJP routes backward through the log-domain scan)."""
+        scores = jnp.asarray(rng.normal(size=(3, 33, 29)).astype(np.float32) * 4)
+        for iters in (10, 30, 100):
+            Z_ref = log_optimal_transport(scores, 1.0, iters)
+            # mxu rounds the count UP to a multiple of absorb_every=10
+            Z_mxu = log_optimal_transport(scores, 1.0, iters, impl="mxu")
+            p_ref, p_mxu = np.exp(np.asarray(Z_ref)), np.exp(np.asarray(Z_mxu))
+            # compare transport plans (probabilities): tail log values differ
+            # harmlessly, probabilities must agree tightly
+            np.testing.assert_allclose(p_mxu, p_ref, atol=2e-4)
+
+        def loss(fn_impl):
+            def f(s):
+                Z = log_optimal_transport(s, 1.0, 30, impl=fn_impl)
+                return -jnp.mean(jnp.diagonal(Z[0, :-1, :-1]))
+            return f
+
+        g_ref = jax.grad(loss("xla"))(scores)
+        g_mxu = jax.grad(loss("mxu"))(scores)
+        np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                                   atol=1e-5)
+
+    def test_mxu_impl_extreme_scores_stable(self, rng):
+        """Large score magnitudes must not overflow the scaling domain
+        (absorption keeps a/b near 1)."""
+        scores = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32) * 30)
+        Z_ref = log_optimal_transport(scores, 1.0, 50)
+        Z_mxu = log_optimal_transport(scores, 1.0, 50, impl="mxu")
+        assert np.all(np.isfinite(np.asarray(Z_mxu)))
+        np.testing.assert_allclose(np.exp(np.asarray(Z_mxu)),
+                                   np.exp(np.asarray(Z_ref)), atol=5e-4)
+
 
 class TestAttention:
     def test_identity_value_passthrough(self, rng):

@@ -42,6 +42,11 @@ def main():
                              "N steps and gate the learned-match multi-view "
                              "pipeline (the flagship capability; reference "
                              "trains per tuple size, train.py:262-268)")
+    parser.add_argument("--conf_steps1", type=int, default=0,
+                        help="conf-MLP gate: stage-1 (match NLL) steps on the "
+                             "deceptive-outlier fixture (0 disables the phase)")
+    parser.add_argument("--conf_steps2", type=int, default=800,
+                        help="conf-MLP gate: stage-2 (blended pose loss) steps")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args()
@@ -527,6 +532,205 @@ def main():
         result.update({"auc_stage2": auc_2, "precision_stage2": prec_2,
                        "stage2_steps": args.stage2_steps})
 
+    if args.conf_steps1 > 0:
+        # ---- conf-MLP gate: the head must WIN on deceptive outliers ---------
+        # Fixture where Sinkhorn matching scores are provably insufficient as
+        # pose weights: besides true correspondences (extra-noisy descriptors),
+        # each case plants N_OUT "deceptive twins" -- descriptor pairs nearly
+        # identical across views (so the matcher confidently matches them)
+        # whose POSITIONS are independent random draws (geometrically
+        # inconsistent). Their descriptors carry a distributional marker
+        # (boosted energy in the last 32 dims) that similarity scores cannot
+        # express -- similarity is high regardless -- but the conf MLP can
+        # read from the descriptor content. Match-loss weights for twin slots
+        # are 0 (the reference's dropped "uncertain" labels, helpers.py:173-192),
+        # so the ONLY gradient signal about them is the pose loss through the
+        # weighted eight-point solve: exactly the mechanism the reference's
+        # confidence head exists for (docs/index.html:173, +6.7% claim).
+        from e2e_multi_view_matching_tpu.train.checkpoint import _graft
+        from e2e_multi_view_matching_tpu.train.losses import (
+            combine_losses as _combine,
+            matcher_losses as _mlosses,
+        )
+        from e2e_multi_view_matching_tpu.geom.eightpoint import (
+            estimate_relative_pose_w8pt,
+        )
+
+        N_TRUE, N_OUT = 40, 24
+        MARKER = 32  # marker dims at the tail of the descriptor
+
+        def build_case_outliers(scene, rng):
+            pix0, pix1 = scene.correspondences(0, 1, N_TRUE, rng, margin=12)
+            n_vis = len(pix0)
+            kpts = np.zeros((V, K, 2), np.float32)
+            descs = np.zeros((V, K, D), np.float32)
+            gt = np.full((2, K + 1), -1, np.int64)
+            out_mask0 = np.zeros(K, bool)
+            perm0 = rng.permutation(K)
+            perm1 = rng.permutation(K)
+            s_true0, s_true1 = perm0[:n_vis], perm1[:n_vis]
+            s_out0 = perm0[n_vis:n_vis + N_OUT]
+            s_out1 = perm1[n_vis:n_vis + N_OUT]
+            rest0, rest1 = perm0[n_vis + N_OUT:], perm1[n_vis + N_OUT:]
+            # true correspondences: noisy positions + extra-noisy descriptors
+            kpts[0, s_true0] = pix0 + rng.normal(size=pix0.shape) * NOISE_PX
+            kpts[1, s_true1] = pix1 + rng.normal(size=pix1.shape) * NOISE_PX
+            base = rng.normal(size=(n_vis, D)).astype(np.float32)
+            descs[0, s_true0] = base + rng.normal(size=(n_vis, D)) * 0.35
+            descs[1, s_true1] = base + rng.normal(size=(n_vis, D)) * 0.35
+            gt[0, s_true0] = s_true1
+            gt[1, s_true1] = s_true0
+            # deceptive twins: near-identical descriptors (with marker),
+            # independent random positions in each view
+            base_o = rng.normal(size=(N_OUT, D)).astype(np.float32)
+            base_o[:, -MARKER:] *= 2.5  # the learnable marker
+            descs[0, s_out0] = base_o + rng.normal(size=(N_OUT, D)) * 0.1
+            descs[1, s_out1] = base_o + rng.normal(size=(N_OUT, D)) * 0.1
+            kpts[0, s_out0] = rng.uniform([12, 12], [W - 12, H - 12], (N_OUT, 2))
+            kpts[1, s_out1] = rng.uniform([12, 12], [W - 12, H - 12], (N_OUT, 2))
+            out_mask0[s_out0] = True
+            # plain distractors
+            kpts[0, rest0] = rng.uniform([10, 10], [W - 10, H - 10], (len(rest0), 2))
+            kpts[1, rest1] = rng.uniform([10, 10], [W - 10, H - 10], (len(rest1), 2))
+            descs[0, rest0] = rng.normal(size=(len(rest0), D))
+            descs[1, rest1] = rng.normal(size=(len(rest1), D))
+            descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+            kpts[..., 0] = np.clip(kpts[..., 0], 0, W - 1)
+            kpts[..., 1] = np.clip(kpts[..., 1], 0, H - 1)
+            # weights: class-balanced over labeled slots; twin slots weight 0
+            weights = np.zeros((2, K + 1), np.float32)
+            for r, s_out in ((0, s_out0), (1, s_out1)):
+                labeled = np.ones(K + 1, bool)
+                labeled[s_out] = False
+                mfrac = max(n_vis / max(labeled.sum() - 1, 1), 1e-3)
+                weights[r] = np.where(gt[r] >= 0, 0.5 / mfrac,
+                                      0.5 / max(1.0 - mfrac, 1e-3))
+                weights[r, s_out] = 0.0
+            scores = np.full((V, K), 0.5, np.float32)
+            T_gt = scene.relative_pose(0, 1)
+            poses = np.stack([scene.poses[0], scene.poses[1]]).astype(np.float32)
+            return (descs, kpts, scores, gt, weights, T_gt,
+                    scene.intr[0].astype(np.float32), poses, out_mask0)
+
+        def build_conf_set(n):
+            cases = [build_case_outliers(SphereFieldScene(
+                rng, n_views=V, H=H, W=W, f=F, baseline=0.9, rot_jitter=0.1),
+                rng) for _ in range(n)]
+            stack = lambda i: jnp.asarray(np.stack([c[i] for c in cases]))
+            return tuple(stack(i) for i in range(9))
+
+        (cg_descs, cg_kpts, cg_scores, cg_gt, cg_w, cg_T, cg_intr, cg_poses,
+         cg_out0) = build_conf_set(N_EVAL)
+
+        # stage 1 on the outlier fixture (same architecture/optimizer as the
+        # main phase; reuses the jitted train_step)
+        cg_vars = matcher.init(key, cg_kpts[:1], cg_scores[:1], cg_descs[:1],
+                               jnp.full((1, V, 2), float(H)))
+        params_cg, bstats_cg = cg_vars["params"], cg_vars["batch_stats"]
+        opt_cg = tx.init(params_cg)
+        t0 = time.time()
+        for step in range(args.conf_steps1):
+            b = build_conf_set(MB)
+            params_cg, bstats_cg, opt_cg, l = train_step(
+                params_cg, bstats_cg, opt_cg, b[1], b[2], b[0], b[3], b[4])
+            if step % 50 == 0 or step == args.conf_steps1 - 1:
+                print(f"conf-gate s1 step {step}: loss {float(l):.2f}",
+                      flush=True)
+        print(f"conf-gate stage 1: {args.conf_steps1} steps in "
+              f"{time.time()-t0:.1f}s", flush=True)
+
+        # stage 2: graft into the conf-MLP model, blended pose loss
+        matcher_cg = MultiViewMatcher(MatcherConfig(
+            gnn_layers=default_gnn_layers(3, 1), sinkhorn_iterations=30,
+            conf_mlp=True, match_threshold=0.0,
+        ))
+        m2 = matcher_cg.init(key, cg_kpts[:1], cg_scores[:1], cg_descs[:1],
+                             jnp.full((1, V, 2), float(H)))
+        params_cg2, missing, _ = _graft(m2["params"], params_cg)
+        bstats_cg2, _, _ = _graft(m2["batch_stats"], bstats_cg)
+        print(f"conf-gate stage 2: grafted ({len(missing)} fresh leaves)",
+              flush=True)
+        ROT_W2, TRANS_W2 = 1597.0, 270.0  # scannet 2-tuple (`train.py:218`)
+        tx_cg = build_optimizer(1e-5, 1.0, 0, 0, pose_loss=True)
+        opt_cg2 = tx_cg.init(params_cg2)
+
+        @jax.jit
+        def train_step_cg(params, bstats, opt_state, ratio, bk, bs_, bd, bgi,
+                          bgw, bintr, bposes):
+            def loss_fn(p):
+                out, upd = matcher_cg.apply(
+                    {"params": p, "batch_stats": bstats}, bk, bs_, bd, mb_size,
+                    train=True, full_output=True, mutable=["batch_stats"],
+                )
+                losses = _mlosses(out, bgi[:, None], bgw[:, None], bk,
+                                  bintr, bposes, pose_loss=True)
+                total, scaled = _combine(losses, 1, ratio, ROT_W2, TRANS_W2)
+                return total, (upd["batch_stats"], scaled)
+
+            (l, (new_bs, scaled)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx_cg.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), new_bs, opt_state,
+                    l, scaled)
+
+        t0 = time.time()
+        for step in range(args.conf_steps2):
+            b = build_conf_set(MB)
+            ratio = 0.8 * min(1.0, step / max(1, args.conf_steps2 // 2))
+            bintr = jnp.tile(b[6][:, None], (1, V, 1, 1))
+            params_cg2, bstats_cg2, opt_cg2, l, scaled = train_step_cg(
+                params_cg2, bstats_cg2, opt_cg2, ratio, b[1], b[2], b[0],
+                b[3], b[4], bintr, b[7])
+            if step % 50 == 0 or step == args.conf_steps2 - 1:
+                print(f"conf-gate s2 step {step}: total {float(l):.2f} "
+                      f"rot {float(scaled['rot_loss']):.4f}", flush=True)
+        print(f"conf-gate stage 2: {args.conf_steps2} steps in "
+              f"{time.time()-t0:.1f}s", flush=True)
+
+        # benchmark BOTH weightings of the SAME matcher output through the
+        # w8pt eval path (`eval_pairs.py` w8pt mode) -- only the weights differ
+        out = matcher_cg.apply({"params": params_cg2, "batch_stats": bstats_cg2},
+                               cg_kpts, cg_scores, cg_descs, e_size)
+        m0 = out["matches0"][:, 0]
+        gather = jnp.clip(m0, 0, K - 1)
+        k1 = jnp.take_along_axis(cg_kpts[:, 1], gather[..., None], axis=1)
+
+        def w8pt_auc(conf):
+            conf = jnp.where(m0 >= 0, conf, 0.0)
+            T_pred, info = estimate_relative_pose_w8pt(
+                cg_kpts[:, 0], k1, cg_intr, cg_intr, conf,
+                determine_inliers=True)
+            errs = np.asarray(pose_error_max(cg_T, T_pred, degrees=True))
+            errs = np.where(np.asarray(info.valid), errs, np.inf)
+            return pose_auc(errs, [5, 10, 20])
+
+        auc_score_w = w8pt_auc(out["matching_scores0"][:, 0])
+        auc_conf_w = w8pt_auc(out["conf_scores"][:, 0])
+        # mechanism check: learned confidence separates twins from true matches
+        confn = np.asarray(out["conf_scores"][:, 0])
+        m0n = np.asarray(m0)
+        outn = np.asarray(cg_out0)
+        matched = m0n >= 0
+        conf_out = float(confn[matched & outn].mean())
+        conf_true = float(confn[matched & ~outn & (np.asarray(cg_gt[:, 0, :-1]) >= 0)].mean())
+        # how often do the twins actually get matched (the deception works)?
+        deceived = float(matched[outn].mean())
+        print(f"conf-gate: score-weighted AUC@5/10/20="
+              f"{[round(a*100,1) for a in auc_score_w]}", flush=True)
+        print(f"conf-gate: conf-weighted  AUC@5/10/20="
+              f"{[round(a*100,1) for a in auc_conf_w]}", flush=True)
+        print(f"conf-gate: twin matched frac {deceived:.2f}, mean conf "
+              f"twins {conf_out:.3f} vs true {conf_true:.3f}", flush=True)
+        result.update({
+            "conf_gate_auc_score_weighted": auc_score_w,
+            "conf_gate_auc_conf_weighted": auc_conf_w,
+            "conf_gate_twin_matched_frac": deceived,
+            "conf_gate_conf_on_twins": conf_out,
+            "conf_gate_conf_on_true": conf_true,
+            "conf_steps1": args.conf_steps1,
+            "conf_steps2": args.conf_steps2,
+        })
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=2)
@@ -548,6 +752,20 @@ def main():
         assert result["auc_multi_view_oracle"][2] > 0.75, \
             result["auc_multi_view_oracle"]
         assert result["auc_multi_view"][2] > 0.08, result["auc_multi_view"]
+    if args.conf_steps1 > 0:
+        # the conf-MLP gate (reference raison d'etre): on deceptive outliers,
+        # conf-weighted poses must BEAT score-weighted poses, the deception
+        # must actually land (twins get matched), and the head must separate
+        # twins from true matches
+        assert result["conf_gate_twin_matched_frac"] > 0.5, \
+            result["conf_gate_twin_matched_frac"]
+        assert result["conf_gate_auc_conf_weighted"][2] > \
+            result["conf_gate_auc_score_weighted"][2] + 0.05, \
+            (result["conf_gate_auc_conf_weighted"],
+             result["conf_gate_auc_score_weighted"])
+        assert result["conf_gate_conf_on_twins"] < \
+            0.6 * result["conf_gate_conf_on_true"], \
+            (result["conf_gate_conf_on_twins"], result["conf_gate_conf_on_true"])
     if args.mv_train_steps > 0:
         # the flagship gate: the V=5-TRAINED model's learned matches through
         # the full multi-view pipeline must be benchmark-grade (oracle ceiling
