@@ -1,27 +1,36 @@
-"""Benchmark: end-to-end multi-view matching throughput on the local accelerator.
+"""Benchmark: end-to-end 5-tuple eval pipeline + train step on the local chip.
 
-Measures the flagship inference path at the reference's multi-view eval
-configuration (5-tuple, 1024 keypoints, 256-d descriptors, full GNN depth
-7x(self+3*cross), 100 Sinkhorn iterations -- `/root/reference/eval_multi_view.py:
-115,130-132`, `train.py:262-268`): matcher forward producing all 10 pairwise
-log-assignments, matches, and confidence scores.
+Measures the reference's multi-view benchmark scope (`/root/reference/
+eval_multi_view.py:154-165`): SuperPoint detection over all B*V frames ->
+multi-frame matcher (full GNN depth 7x(self+3*cross), K=1024, 100 Sinkhorn
+iterations -- `eval_multi_view.py:115,130-132`, `train.py:262-268`) -> robust
+pose pipeline (per-pair w8pt+IRLS+BA -> spanning tree -> rotation/translation
+averaging -> multi-camera Schur BA), plus one full training step.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Methodology: the axon TPU tunnel adds ~28 ms of fixed dispatch overhead per
+host round trip (measured; `block_until_ready` returns early, so every timing
+ends in a scalar fetch). Stages therefore run at batch B=8 tuples per dispatch
+and report per-tuple times; a separate trivial-kernel measurement reports the
+overhead explicitly. MFU is computed from analytic matmul/conv FLOPs against
+the v5e bf16 MXU peak (197 TFLOP/s) -- conservative for f32 execution.
 
-`vs_baseline` is measured against BASELINE_TUPLES_PER_S: the reference publishes
-no absolute throughput (BASELINE.md), so the anchor is an estimate of its GPU
-eval throughput (~10 sequential SuperGlue-style pair matchings per 5-tuple at
-~150 ms each on the reference's unspecified GPU => ~0.7 tuples/s).
+Prints per-stage lines, then ONE final JSON line {"metric", "value", "unit",
+"vs_baseline"}. `vs_baseline` is ESTIMATE-ONLY: the reference publishes no
+absolute throughput (BASELINE.md); the anchor 0.7 tuples/s is a documented
+guess of its sequential per-pair GPU eval (~10 pairs x ~150 ms). The honest
+measured anchor is round 1's 20.53 tuples/s (BENCH_r01.json, matcher-only).
 """
 
 import json
 import os
 import sys
 import time
+import types
 
 import numpy as np
 
-BASELINE_TUPLES_PER_S = 0.7
+BASELINE_TUPLES_PER_S = 0.7  # estimate-only (see module docstring)
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, TPU v5 lite
 
 # The axon TPU tunnel compiles ~5x faster with terminal-side compilation, but
 # the flag must be set before the interpreter's sitecustomize registers the
@@ -35,6 +44,61 @@ if (
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
+def _fetch(x):
+    """Force real device execution (tunnel's block_until_ready lies)."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
+
+def timed(fn, *args, n=8):
+    fn(*args)
+    _fetch(fn(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _fetch(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def matcher_flops(B, V, K, D, gnn_layers, kenc=(32, 64, 128, 256)):
+    """Analytic matmul FLOPs of one matcher forward (MACs x2)."""
+    T = V * K
+    f = 0
+    cin = 3
+    for c in tuple(kenc) + (D,):
+        f += B * T * cin * c * 2
+        cin = c
+    per_layer = (
+        4 * B * T * D * D * 2          # q/k/v/merge projections
+        + 2 * B * T * T * D * 2        # scores + value aggregation
+        + B * T * (2 * D) * (2 * D) * 2 + B * T * (2 * D) * D * 2  # MLP
+    )
+    f += len(gnn_layers) * per_layer
+    f += B * T * D * D * 2             # final_proj
+    P = V * (V - 1) // 2
+    f += B * P * K * K * D * 2         # pairwise score einsum
+    return f
+
+
+def superpoint_flops(n_images, H, W):
+    """Analytic conv FLOPs of the SuperPoint VGG trunk + heads (MACs x2)."""
+    f = 0
+    for scale, cin, cout, k2 in (
+        (1, 1, 64, 9), (1, 64, 64, 9),
+        (2, 64, 64, 9), (2, 64, 64, 9),
+        (4, 64, 128, 9), (4, 128, 128, 9),
+        (8, 128, 128, 9), (8, 128, 128, 9),
+        (8, 128, 256, 9), (8, 256, 65, 1),   # detector head
+        (8, 128, 256, 9), (8, 256, 256, 1),  # descriptor head
+    ):
+        f += (H // scale) * (W // scale) * cin * cout * k2 * 2
+    return n_images * f
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -44,56 +108,161 @@ def main():
         MultiViewMatcher,
         default_gnn_layers,
     )
-
-    B, V, K, D = 1, 5, 1024, 256
-    cfg = MatcherConfig(
-        gnn_layers=default_gnn_layers(7, 3),  # tuple>2 scannet config
-        sinkhorn_iterations=100,
-        conf_mlp=True,
-        multi_frame_matching=True,
-        # fused Pallas attention: 1.7x over the XLA path (45.5 vs 77.6 ms),
-        # hardware-validated to ~4e-4 agreement; requires the remote-compile
-        # re-exec above on the axon tunnel
-        attention_impl="pallas",
+    from e2e_multi_view_matching_tpu.models.superpoint import (
+        SuperPoint,
+        SuperPointConfig,
     )
-    matcher = MultiViewMatcher(cfg)
+    from e2e_multi_view_matching_tpu.mvba.pipeline import (
+        multi_view_pose_pipeline_batch,
+    )
+
+    B, V, K, D = 8, 5, 1024, 256
+    H, W = 480, 640  # ScanNet eval resolution (depth-sized frames)
+    gnn_layers = default_gnn_layers(7, 3)  # tuple>2 scannet config
     rng = np.random.default_rng(0)
-    kpts = jnp.asarray(rng.uniform(0, 480, size=(B, V, K, 2)).astype(np.float32))
-    scores = jnp.asarray(rng.uniform(size=(B, V, K)).astype(np.float32))
-    descs = jnp.asarray(rng.normal(size=(B, V, K, D)).astype(np.float32))
-    descs = descs / jnp.linalg.norm(descs, axis=-1, keepdims=True)
-    image_size = jnp.full((B, V, 2), 480.0)
-    variables = matcher.init(jax.random.PRNGKey(0), kpts, scores, descs, image_size)
+
+    # ---- fixed dispatch overhead of the tunnel --------------------------
+    trivial = jax.jit(lambda x: x + 1.0)
+    overhead = timed(trivial, jnp.zeros((8, 8)))
+    print(f"dispatch overhead: {overhead * 1e3:.1f} ms", flush=True)
+
+    # ---- stage 1: SuperPoint over B*V frames ----------------------------
+    sp = SuperPoint(SuperPointConfig(
+        nms_radius=4, keypoint_threshold=1e-3, max_keypoints=K,
+        remove_borders=4, fill_with_random_keypoints=True,
+    ))
+    images = jnp.asarray(rng.uniform(size=(B * V, H, W, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    sp_vars = sp.init({"params": key, "keypoints": key}, images[:1])
 
     @jax.jit
-    def forward(variables, kpts, scores, descs, image_size):
-        out = matcher.apply(variables, kpts, scores, descs, image_size)
-        return out["log_assignment"], out["matches0"], out["conf_scores"]
+    def sp_fwd(variables, images, rng_):
+        return sp.apply(variables, images, rngs={"keypoints": rng_})
 
-    # warmup/compile (force a real device->host sync: on the axon remote
-    # platform `block_until_ready` returns before execution finishes, so every
-    # timing iteration ends in a scalar fetch).
-    out = forward(variables, kpts, scores, descs, image_size)
-    float(out[0][0, 0, 0, 0])
+    t_sp = timed(sp_fwd, sp_vars, images, key)
+    sp_f = superpoint_flops(B * V, H, W)
+    print(f"superpoint: {t_sp * 1e3:.1f} ms ({B} tuples, {B * V} frames "
+          f"{H}x{W}) -> {t_sp / B * 1e3:.1f} ms/tuple, "
+          f"MFU {sp_f / t_sp / V5E_PEAK_FLOPS * 100:.1f}%", flush=True)
+    sp_out = sp_fwd(sp_vars, images, key)
+    _fetch(sp_out["keypoints"])
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, kpts, scores, descs, image_size)
-        float(out[0][0, 0, 0, 0])
-    dt = time.perf_counter() - t0
-    tuples_per_s = n_iters * B / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "five_tuple_matcher_throughput",
-                "value": round(tuples_per_s, 4),
-                "unit": "tuples/s",
-                "vs_baseline": round(tuples_per_s / BASELINE_TUPLES_PER_S, 4),
-            }
-        )
+    # ---- stage 2: multi-frame matcher ------------------------------------
+    cfg = MatcherConfig(
+        gnn_layers=gnn_layers, sinkhorn_iterations=100, conf_mlp=True,
+        multi_frame_matching=True,
+        attention_impl="pallas",  # fused in-kernel-masked attention
+        sinkhorn_impl="mxu",      # scaling-domain MXU Sinkhorn
     )
+    matcher = MultiViewMatcher(cfg)
+    kpts = sp_out["keypoints"].reshape(B, V, K, 2)
+    scores = sp_out["scores"].reshape(B, V, K)
+    descs = sp_out["descriptors"].reshape(B, V, K, D)
+    image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
+    variables = matcher.init(jax.random.PRNGKey(0), kpts[:1], scores[:1],
+                             descs[:1], image_size[:1])
+
+    @jax.jit
+    def m_fwd(variables, kpts, scores, descs, image_size):
+        out = matcher.apply(variables, kpts, scores, descs, image_size)
+        return out["matches0"], out["matching_scores0"], out["conf_scores"]
+
+    t_m = timed(m_fwd, variables, kpts, scores, descs, image_size)
+    m_f = matcher_flops(B, V, K, D, gnn_layers)
+    print(f"matcher: {t_m * 1e3:.1f} ms ({B} tuples) -> "
+          f"{t_m / B * 1e3:.1f} ms/tuple, "
+          f"MFU {m_f / t_m / V5E_PEAK_FLOPS * 100:.1f}%", flush=True)
+    matches0, mscores0, conf = m_fwd(variables, kpts, scores, descs, image_size)
+    _fetch(matches0)
+
+    # ---- stage 3: robust multi-view pose pipeline ------------------------
+    intr = np.broadcast_to(
+        np.asarray([[525.0, 0, W / 2], [0, 525.0, H / 2], [0, 0, 1]],
+                   np.float32), (B, V, 3, 3)).copy()
+    conf_w = jnp.where(matches0 >= 0, conf, 0.0)
+
+    def pose_stage():
+        return multi_view_pose_pipeline_batch(kpts, intr, matches0, conf_w)
+
+    pose_stage()  # compile both jitted stages
+    t_pose_l = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        extr = pose_stage()
+        _ = float(np.asarray(extr).ravel()[0])
+        t_pose_l.append(time.perf_counter() - t0)
+    t_pose = min(t_pose_l)
+    print(f"pose pipeline: {t_pose * 1e3:.1f} ms ({B} tuples) -> "
+          f"{t_pose / B * 1e3:.1f} ms/tuple", flush=True)
+
+    t_tuple = (t_sp + t_m + t_pose) / B
+    tuples_per_s = 1.0 / t_tuple
+    e2e_mfu = (sp_f + m_f) / (t_sp + t_m + t_pose) / V5E_PEAK_FLOPS
+    print(f"end-to-end eval: {t_tuple * 1e3:.1f} ms/tuple = "
+          f"{tuples_per_s:.2f} tuples/s, pipeline MFU {e2e_mfu * 100:.1f}%",
+          flush=True)
+
+    # ---- stage 4: one full training step ---------------------------------
+    from e2e_multi_view_matching_tpu.train.optim import build_optimizer
+    from e2e_multi_view_matching_tpu.train.step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    Bt, Kt = 2, 400  # scannet 5-tuple train config (400 kpts)
+    sp_t = SuperPoint(SuperPointConfig(
+        nms_radius=4, keypoint_threshold=1e-3, max_keypoints=Kt,
+        remove_borders=12, fill_with_random_keypoints=True,
+    ))
+    matcher_t = MultiViewMatcher(MatcherConfig(
+        gnn_layers=gnn_layers, sinkhorn_iterations=100, conf_mlp=True,
+        multi_frame_matching=True,
+    ))
+    opt = types.SimpleNamespace(
+        pose_loss=True, rot_weight=726.0, trans_weight=244.0,
+        final_pose_match_ratio=0.99, match_reproj_err=5.0,
+        unmatch_reproj_err=15.0, tuple_size=V,
+    )
+    tx = build_optimizer(1e-4, 0.999992, 1e5, 9e5, pose_loss=True)
+    timages = jnp.asarray(rng.uniform(size=(Bt, V, H, W, 1)).astype(np.float32))
+    tintr = jnp.asarray(np.broadcast_to(
+        np.concatenate([np.concatenate([intr[0, 0], np.zeros((3, 1), np.float32)], 1),
+                        np.asarray([[0, 0, 0, 1]], np.float32)]), (Bt, V, 4, 4)))
+    tposes = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (Bt, V, 4, 4))
+                         ).at[:, :, 0, 3].add(jnp.arange(V) * 0.1)
+    tdepths = jnp.asarray(rng.uniform(2, 5, size=(Bt, V, H, W)).astype(np.float32))
+    batch = {"images": timages, "intr": tintr, "poses": tposes, "depths": tdepths}
+    sp_vars_t = sp_t.init({"params": key, "keypoints": key}, timages[0])
+    m_vars_t = matcher_t.init(key, jnp.zeros((1, V, Kt, 2)), jnp.zeros((1, V, Kt)),
+                              jnp.zeros((1, V, Kt, D)), jnp.full((1, V, 2), float(H)))
+    state = create_train_state(m_vars_t["params"], m_vars_t["batch_stats"], tx)
+    step_fn = jax.jit(make_train_step(sp_t, matcher_t, tx, opt))
+
+    def one_step(state):
+        new_state, metrics = step_fn(state, sp_vars_t, batch, key)
+        return new_state, metrics
+
+    new_state, metrics = one_step(state)
+    _fetch(metrics["train_loss"])
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        new_state, metrics = one_step(new_state)
+        _fetch(metrics["train_loss"])
+        ts.append(time.perf_counter() - t0)
+    t_train = min(ts)
+    print(f"train step: {t_train * 1e3:.1f} ms (B={Bt}, V={V}, K={Kt}, "
+          f"{H}x{W}, pose loss) -> {Bt / t_train:.2f} tuples/s", flush=True)
+
+    print(json.dumps({
+        "metric": "five_tuple_e2e_eval_throughput",
+        "value": round(tuples_per_s, 4),
+        "unit": "tuples/s",
+        # ESTIMATE-ONLY anchor (reference publishes no throughput): ~0.7
+        # tuples/s guessed GPU eval; measured round-1 anchor was 20.53
+        # matcher-only tuples/s (BENCH_r01.json)
+        "vs_baseline": round(tuples_per_s / BASELINE_TUPLES_PER_S, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

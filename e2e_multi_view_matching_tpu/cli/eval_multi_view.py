@@ -47,6 +47,10 @@ def parse_args(argv=None):
     parser.add_argument("--sinkhorn_iterations", type=int, default=100)
     parser.add_argument("--eval_batch", type=int, default=8,
                         help="tuples evaluated per device dispatch")
+    parser.add_argument("--init_mode", type=str, default="w8pt_ba",
+                        choices=["w8pt_ba", "ransac", "ransac_ba"],
+                        help="per-pair relative-pose initialization "
+                             "(`bundle_adjust_io.py:12-54`)")
     parser.add_argument("--allow_resampled_tuples", action="store_true",
                         help="permit evaluating freshly sampled tuples when the "
                              "fixed benchmark CSV is absent (NOT the benchmark)")
@@ -218,7 +222,10 @@ def main(argv=None):
                     "(not the reference benchmark)")
     log.info("loaded %d test tuples", len(test_dataset))
 
-    pose_errors = evaluate(opt, superpoint, sp_vars, matcher, m_vars, test_dataset)
+    pose_errors = evaluate(
+        opt, superpoint, sp_vars, matcher, m_vars, test_dataset,
+        pipeline_cfg=MultiViewPipelineConfig(init_mode=opt.init_mode),
+    )
     out_json = os.path.join(exp_dir, f"multi_view_{opt.dataset.split('_')[0]}.json")
     return write_result(pose_errors, out_json)
 

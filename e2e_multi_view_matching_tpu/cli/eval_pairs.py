@@ -60,27 +60,7 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def estimate_pose_ransac(mkpts0, mkpts1, K0, K1, thresh=1.0):
-    """OpenCV essential-matrix RANSAC + recoverPose (upstream `estimate_pose`)."""
-    import cv2
-
-    if len(mkpts0) < 5:
-        return None
-    f_mean = np.mean([K0[0, 0], K1[1, 1], K0[0, 0], K1[1, 1]])
-    norm_thresh = thresh / f_mean
-    k0 = (mkpts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
-    k1 = (mkpts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
-    E, mask = cv2.findEssentialMat(
-        k0, k1, np.eye(3), threshold=norm_thresh, prob=0.99999, method=cv2.RANSAC
-    )
-    if E is None:
-        return None
-    best = None
-    for _E in np.split(E, len(E) / 3):
-        n, R, t, _ = cv2.recoverPose(_E, k0, k1, np.eye(3), 1e9, mask=mask)
-        if best is None or n > best[0]:
-            best = (n, R, t[:, 0], mask.ravel() > 0)
-    return best[1], best[2], best[3]
+from e2e_multi_view_matching_tpu.geom.ransac import estimate_pose_ransac  # noqa: E402
 
 
 def relative_pose_errors(T_gt, R, t):

@@ -47,6 +47,12 @@ class MultiViewPipelineConfig:
     two_view_ba_iterations: int = 10  # `eval_multi_view` path uses 10
     ba_iterations: int = 20
     ba_retriangulate: bool = False
+    # per-pair relative-pose init mode (`bundle_adjust_io.py:12-54`):
+    # "w8pt_ba" (default; differentiable robust IRLS w8pt + LM BA, on device),
+    # "ransac" (host OpenCV essential RANSAC), "ransac_ba" (RANSAC init +
+    # batched on-device two-view BA refine on the inliers)
+    init_mode: str = "w8pt_ba"
+    ransac_thresh: float = 1.0  # pixels (upstream `estimate_pose` default)
 
 
 def _pair_list(V):
@@ -147,6 +153,56 @@ def _global_stage_batch(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j
     return jax.vmap(one)(extr_tree, T_rel, edge_valid, x_i, x_j, w)
 
 
+def _ransac_relative_poses(kpts_i, kpts_j, intr_i, intr_j, conf, cfg):
+    """Host RANSAC init per pair, optionally + batched two-view BA refine.
+
+    The reference's `ransac` / `ransac_ba` multi-view init modes
+    (`bundle_adjust_io.py:12-54`): OpenCV essential RANSAC on the confident
+    matches, inlier-gated confidences for the BA observations; `ransac_ba`
+    additionally refines each pose with the two-view LM BA (10 iterations,
+    like `eval_pairs.py:241`) -- run as ONE batched device dispatch over all
+    pairs after the host loop.
+
+    Args/returns mirror `robust_relative_poses` (numpy in, numpy out).
+    """
+    from e2e_multi_view_matching_tpu.geom.ransac import estimate_pose_ransac
+
+    BP, K = conf.shape
+    T_rel = np.broadcast_to(np.eye(4, dtype=np.float32), (BP, 4, 4)).copy()
+    pose_valid = np.zeros(BP, bool)
+    inlier_count = np.zeros(BP, np.int32)
+    conf_gated = np.zeros_like(conf)
+    for p in range(BP):
+        sel = conf[p] > 0.0
+        ret = None
+        if sel.sum() >= 5:
+            ret = estimate_pose_ransac(
+                kpts_i[p][sel], kpts_j[p][sel], intr_i[p], intr_j[p],
+                thresh=cfg.ransac_thresh,
+            )
+        if ret is None:
+            continue
+        R, t, inl = ret
+        T_rel[p, :3, :3] = R
+        T_rel[p, :3, 3] = t
+        pose_valid[p] = True
+        inlier_count[p] = int(inl.sum())
+        gate = np.zeros(K, bool)
+        gate[np.where(sel)[0][inl]] = True
+        conf_gated[p] = np.where(gate, conf[p], 0.0)
+
+    if cfg.init_mode == "ransac_ba":
+        x_i = np.asarray(normalize_keypoints(jnp.asarray(kpts_i), jnp.asarray(intr_i)))
+        x_j = np.asarray(normalize_keypoints(jnp.asarray(kpts_j), jnp.asarray(intr_j)))
+        T_ba, ok = bundle_adjust_two_view(
+            jnp.asarray(x_i), jnp.asarray(x_j), jnp.asarray(conf_gated),
+            jnp.asarray(T_rel), n_iterations=cfg.two_view_ba_iterations,
+        )
+        ok = np.asarray(ok) & pose_valid
+        T_rel = np.where(ok[:, None, None], np.asarray(T_ba), T_rel)
+    return T_rel, inlier_count, pose_valid, conf_gated
+
+
 def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
                                    cfg=MultiViewPipelineConfig()):
     """Estimate absolute extrinsics for a batch of view tuples.
@@ -186,11 +242,22 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
     intr_i = intr[:, idx_i]  # (B, P, 3, 3)
     intr_j = intr[:, idx_j]
 
-    T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
-        kpts_i.reshape(B * P, K, 2), kpts_j.reshape(B * P, K, 2),
-        intr_i.reshape(B * P, 3, 3), intr_j.reshape(B * P, 3, 3),
-        conf_m.reshape(B * P, K), cfg.two_view_ba_iterations,
-    )
+    if cfg.init_mode in ("ransac", "ransac_ba"):
+        T_rel, inlier_count, pose_valid, conf_gated = _ransac_relative_poses(
+            np.asarray(kpts_i).reshape(B * P, K, 2),
+            np.asarray(kpts_j).reshape(B * P, K, 2),
+            np.asarray(intr_i).reshape(B * P, 3, 3),
+            np.asarray(intr_j).reshape(B * P, 3, 3),
+            np.asarray(conf_m).reshape(B * P, K), cfg,
+        )
+        T_rel = jnp.asarray(T_rel)
+        conf_gated = jnp.asarray(conf_gated)
+    else:
+        T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
+            kpts_i.reshape(B * P, K, 2), kpts_j.reshape(B * P, K, 2),
+            intr_i.reshape(B * P, 3, 3), intr_j.reshape(B * P, 3, 3),
+            conf_m.reshape(B * P, K), cfg.two_view_ba_iterations,
+        )
 
     # host: one spanning tree per tuple over inlier counts
     T_rel_np = np.asarray(T_rel).reshape(B, P, 4, 4)
