@@ -21,6 +21,7 @@ import numpy as np
 from e2e_multi_view_matching_tpu.data.pairs import PairMatchingDataset
 from e2e_multi_view_matching_tpu.geom.eightpoint import estimate_relative_pose_w8pt
 from e2e_multi_view_matching_tpu.geom.metrics import pose_auc
+from e2e_multi_view_matching_tpu.geom.ransac import estimate_pose_ransac
 from e2e_multi_view_matching_tpu.models.matcher import (
     MatcherConfig,
     MultiViewMatcher,
@@ -47,7 +48,10 @@ def parse_args(argv=None):
                         choices=["ransac", "ransac_ba", "w8pt", "w8pt_ba",
                                  "w8pt_irls_ba"])
     parser.add_argument("--max_pairs", type=int, default=None)
-    parser.add_argument("--sinkhorn_iterations", type=int, default=100)
+    parser.add_argument("--sinkhorn_iterations", type=int, default=30,
+                        help="reference default 100; 30 measured lossless on "
+                             "the synthetic quality gate (tools/synthetic_e2e "
+                             "trains and benches at 30) and ~3x cheaper")
     parser.add_argument("--eval_batch", type=int, default=8,
                         help="same-shape pairs evaluated per device dispatch")
     parser.add_argument("--assets_dir", type=str, default=None,
@@ -58,9 +62,6 @@ def parse_args(argv=None):
                              "weights when superpoint.ckpt is absent (meaningless "
                              "AUC; debugging only)")
     return parser.parse_args(argv)
-
-
-from e2e_multi_view_matching_tpu.geom.ransac import estimate_pose_ransac  # noqa: E402
 
 
 def relative_pose_errors(T_gt, R, t):

@@ -253,6 +253,17 @@ def result_to_reference_keys(result, tuple_size):
     `scores_{i}_{j}`, `matches{i}_{i}_{j}`, `conf_scores_{i}_{j}` as consumed by
     `/root/reference/helpers.py:252`, `estimate_relative_pose.py:21,27-28`,
     `bundle_adjust_io.py:78-82`.
+
+    Contract note -- per-pair keypoint overrides: the reference's pose readers
+    check for `keypoints{id}_{i}_{j}` in the INPUT data dict before falling
+    back to the shared `keypoints{id}` (`estimate_relative_pose.py:17-20`,
+    `bundle_adjust_io.py:73-77`), i.e. a mode of the (missing) submodule could
+    emit pair-specific keypoint coordinates. No call site in the reference
+    repo ever writes such keys (SuperPoint keypoints are frozen and shared by
+    every pair), so this matcher never emits them; consumers here always read
+    the shared per-view keypoints. If a future mode produces per-pair
+    keypoints (e.g. subpixel refinement per pair), add the keys here and the
+    fallback reads in the pose layers.
     """
     out = {}
     p = 0
