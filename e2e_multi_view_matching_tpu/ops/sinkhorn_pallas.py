@@ -79,11 +79,11 @@ def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False):
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, M, N), couplings.dtype),
         interpret=interpret,
     )(couplings, log_mu[:, None, :], log_nu[:, None, :])
