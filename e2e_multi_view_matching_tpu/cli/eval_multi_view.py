@@ -44,10 +44,11 @@ def parse_args(argv=None):
     parser.add_argument("--test_tuple_file", type=str, default=None,
                         help="CSV of fixed test tuples; defaults to assets/")
     parser.add_argument("--max_tuples", type=int, default=None)
-    parser.add_argument("--sinkhorn_iterations", type=int, default=30,
-                        help="reference default 100; 30 measured lossless on "
-                             "the synthetic quality gate (tools/synthetic_e2e "
-                             "trains and benches at 30) and ~3x cheaper")
+    parser.add_argument("--sinkhorn_iterations", type=int, default=100,
+                        help="reference semantics (upstream SuperGlue default "
+                             "100). 30 is a ~3x-cheaper opt-in that measured "
+                             "lossless on the synthetic quality gate only -- "
+                             "not validated on real descriptors")
     parser.add_argument("--eval_batch", type=int, default=8,
                         help="tuples evaluated per device dispatch")
     parser.add_argument("--init_mode", type=str, default="w8pt_ba",

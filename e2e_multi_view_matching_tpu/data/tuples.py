@@ -324,6 +324,13 @@ def batch_iterator(dataset, batch_size, shuffle=True, drop_last=True, seed=0,
         raise ValueError(
             f"global batch {batch_size} not divisible by {process_count} processes"
         )
+    if process_count > 1 and not drop_last:
+        # A short final global batch would give unequal (possibly empty)
+        # per-process slices, while shard_batch derives the global shape as
+        # local_rows * process_count -- inconsistent across processes and
+        # fatal inside make_array_from_process_local_data. Training always
+        # drops the remainder; require it explicitly in multi-process mode.
+        raise ValueError("drop_last=False unsupported with process_count > 1")
     if indices is None:
         indices = np.arange(len(dataset))
     if shuffle:
@@ -351,8 +358,8 @@ def batch_iterator(dataset, batch_size, shuffle=True, drop_last=True, seed=0,
         for b in range(n_batches):
             chunk = indices[b * batch_size : (b + 1) * batch_size]
             # this process's slice of the global batch (full batch when
-            # process_count == 1); the final non-dropped batch may be short --
-            # slice within its actual length
+            # process_count == 1; multi-process always drops short batches,
+            # enforced above, so every slice has exactly per_proc rows)
             chunk = chunk[lo_proc : lo_proc + per_proc] if process_count > 1 else chunk
             q.put(collate(chunk))
         q.put(stop)

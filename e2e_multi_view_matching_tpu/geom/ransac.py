@@ -14,6 +14,17 @@ is host-shaped; the TPU-native robust alternative is the IRLS-gated w8pt in
 import numpy as np
 
 
+def mean_focal(K0, K1):
+    """Mean of all four focal lengths (fx0, fy0, fx1, fy1).
+
+    The upstream estimate_pose's expression double-counts fx0/fy1
+    (np.mean([K0[0,0], K1[1,1], K0[0,0], K1[1,1]])); averaging all four is the
+    correct RANSAC-threshold normalization whenever fx != fy or K0 != K1
+    (the MegaDepth/YFCC eval cases).
+    """
+    return np.mean([K0[0, 0], K0[1, 1], K1[0, 0], K1[1, 1]])
+
+
 def estimate_pose_ransac(mkpts0, mkpts1, K0, K1, thresh=1.0):
     """RANSAC relative pose from matched pixel keypoints.
 
@@ -28,8 +39,7 @@ def estimate_pose_ransac(mkpts0, mkpts1, K0, K1, thresh=1.0):
 
     if len(mkpts0) < 5:
         return None
-    f_mean = np.mean([K0[0, 0], K1[1, 1], K0[0, 0], K1[1, 1]])
-    norm_thresh = thresh / f_mean
+    norm_thresh = thresh / mean_focal(K0, K1)
     k0 = (mkpts0 - K0[[0, 1], [2, 2]][None]) / K0[[0, 1], [0, 1]][None]
     k1 = (mkpts1 - K1[[0, 1], [2, 2]][None]) / K1[[0, 1], [0, 1]][None]
     E, mask = cv2.findEssentialMat(
@@ -38,7 +48,7 @@ def estimate_pose_ransac(mkpts0, mkpts1, K0, K1, thresh=1.0):
     if E is None:
         return None
     best = None
-    for _E in np.split(E, len(E) / 3):
+    for _E in np.split(E, len(E) // 3):
         n, R, t, _ = cv2.recoverPose(_E, k0, k1, np.eye(3), 1e9, mask=mask)
         if best is None or n > best[0]:
             best = (n, R, t[:, 0], mask.ravel() > 0)

@@ -51,9 +51,11 @@ def log_sinkhorn_mxu(couplings, log_mu, log_nu, n_iters, absorb_every=10):
     (a = mu / K b, b = nu / K^T a) -- MACs on the MXU instead of a full
     (M+1)x(N+1) exp+logsumexp sweep on the VPU. Every `absorb_every` steps the
     scalings are absorbed into the log potentials (Schmitzer's stabilized
-    Sinkhorn), which bounds a/b near 1 and keeps f32 exact. On the eval config
-    (K=1024, 10 pairs) the VPU exp count drops ~absorb_every-fold; measured
-    ~5x end-to-end on the v5e chip at 100 iterations.
+    Sinkhorn), which bounds a/b near 1 and keeps f32 exact. Measured on the
+    v5e chip (round 2, K=1024, B=10, 100 iterations): 32.2 ms vs 35.3 ms for
+    the log-domain scan -- 1.10x, and that measurement is confounded by the
+    ~28 ms tunnel dispatch overhead per round trip, so the kernel-only gain
+    is larger but unquantified (see BASELINE.md round-2 table).
 
     The iteration count rounds UP to a multiple of `absorb_every`.
     """
@@ -121,22 +123,25 @@ def augment_couplings(scores, alpha):
     return couplings, log_mu, log_nu, norm
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _log_sinkhorn_mxu_diff(couplings, log_mu, log_nu, n_iters):
-    return log_sinkhorn_mxu(couplings, log_mu, log_nu, n_iters)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _log_sinkhorn_mxu_diff(couplings, log_mu, log_nu, n_iters, absorb_every=10):
+    return log_sinkhorn_mxu(couplings, log_mu, log_nu, n_iters, absorb_every)
 
 
-def _mxu_fwd(couplings, log_mu, log_nu, n_iters):
-    out = _log_sinkhorn_mxu_diff(couplings, log_mu, log_nu, n_iters)
+def _mxu_fwd(couplings, log_mu, log_nu, n_iters, absorb_every):
+    out = _log_sinkhorn_mxu_diff(couplings, log_mu, log_nu, n_iters, absorb_every)
     return out, (couplings, log_mu, log_nu)
 
 
-def _mxu_bwd(n_iters, residuals, g):
+def _mxu_bwd(n_iters, absorb_every, residuals, g):
     # backward through the log-domain scan (identical fixed point; same
     # pattern as the Pallas kernel's VJP) -- avoids storing the per-absorption
-    # K matrices the scaling-domain forward would checkpoint
+    # K matrices the scaling-domain forward would checkpoint. The forward
+    # rounds the iteration count UP to a multiple of absorb_every; use the
+    # same effective count so forward and backward match for all n_iters.
+    eff_iters = -(-n_iters // absorb_every) * absorb_every
     c, lm, ln = residuals
-    _, vjp = jax.vjp(lambda c_, m_, n_: log_sinkhorn(c_, m_, n_, n_iters), c, lm, ln)
+    _, vjp = jax.vjp(lambda c_, m_, n_: log_sinkhorn(c_, m_, n_, eff_iters), c, lm, ln)
     return vjp(g)
 
 
@@ -159,7 +164,7 @@ def log_optimal_transport(scores, alpha, n_iters, impl="xla"):
     """
     couplings, log_mu, log_nu, norm = augment_couplings(scores, alpha)
     if impl == "mxu":
-        Z = _log_sinkhorn_mxu_diff(couplings, log_mu, log_nu, n_iters)
+        Z = _log_sinkhorn_mxu_diff(couplings, log_mu, log_nu, n_iters, 10)
     else:
         Z = log_sinkhorn(couplings, log_mu, log_nu, n_iters)
     return Z - norm

@@ -309,3 +309,49 @@ class TestMetrics:
     def test_pose_auc_handles_inf(self):
         aucs = pose_auc([np.inf, 1.0, 2.0], [5])
         assert 0.0 < aucs[0] < 1.0
+
+
+class TestRansacHost:
+    def test_mean_focal_averages_all_four(self):
+        """Regression for the upstream estimate_pose quirk: the threshold
+        normalizer must average fx0, fy0, fx1, fy1 -- the upstream expression
+        double-counts fx0/fy1, which skews the RANSAC threshold whenever
+        fx != fy differs between the cameras."""
+        from e2e_multi_view_matching_tpu.geom.ransac import mean_focal
+
+        K0 = np.diag([800.0, 400.0, 1.0])
+        K1 = np.diag([400.0, 800.0, 1.0])
+        # correct: (800+400+400+800)/4 = 600; upstream quirk would give 800
+        np.testing.assert_allclose(mean_focal(K0, K1), 600.0)
+
+    def test_ransac_pose_with_asymmetric_intrinsics(self, rng):
+        """estimate_pose_ransac recovers the pose with fx != fy and K0 != K1
+        (MegaDepth/YFCC-shaped intrinsics), including the integer-section
+        np.split over stacked essential candidates."""
+        import cv2  # noqa: F401 (skip if unavailable)
+        from e2e_multi_view_matching_tpu.geom.ransac import estimate_pose_ransac
+
+        n = 200
+        pts = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3))
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.05, 0.25, -0.04], dtype=jnp.float32)))
+        t = np.array([0.4, 0.05, 0.02])
+        K0 = np.array([[820.0, 0, 320], [0, 410.0, 240], [0, 0, 1]])
+        K1 = np.array([[405.0, 0, 320], [0, 790.0, 240], [0, 0, 1]])
+        p0 = pts @ K0.T
+        p0 = p0[:, :2] / p0[:, 2:]
+        pts1 = pts @ R.T + t
+        p1 = pts1 @ K1.T
+        p1 = p1[:, :2] / p1[:, 2:]
+        p0 = p0 + rng.normal(size=p0.shape) * 0.3
+        p1 = p1 + rng.normal(size=p1.shape) * 0.3
+        # 15% gross outliers
+        n_out = 30
+        p1[:n_out] = rng.uniform([0, 0], [640, 480], (n_out, 2))
+        out = estimate_pose_ransac(p0, p1, K0, K1, thresh=1.0)
+        assert out is not None
+        R_est, t_est, inliers = out
+        rot_err = np.degrees(
+            np.arccos(np.clip((np.trace(R_est.T @ R) - 1) / 2, -1, 1)))
+        assert rot_err < 1.5
+        assert inliers[:n_out].mean() < 0.2
+        assert inliers[n_out:].mean() > 0.7

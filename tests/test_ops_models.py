@@ -75,15 +75,20 @@ class TestSinkhorn:
             # harmlessly, probabilities must agree tightly
             np.testing.assert_allclose(p_mxu, p_ref, atol=2e-4)
 
-        def loss(fn_impl):
+        def loss(fn_impl, iters):
             def f(s):
-                Z = log_optimal_transport(s, 1.0, 30, impl=fn_impl)
+                Z = log_optimal_transport(s, 1.0, iters, impl=fn_impl)
                 return -jnp.mean(jnp.diagonal(Z[0, :-1, :-1]))
             return f
 
-        g_ref = jax.grad(loss("xla"))(scores)
-        g_mxu = jax.grad(loss("mxu"))(scores)
+        g_ref = jax.grad(loss("xla", 30))(scores)
+        g_mxu = jax.grad(loss("mxu", 30))(scores)
         np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                                   atol=1e-5)
+        # non-multiple of absorb_every: the forward rounds 25 -> 30 iterations,
+        # so the custom VJP must differentiate the 30-iteration fixed point
+        g_mxu25 = jax.grad(loss("mxu", 25))(scores)
+        np.testing.assert_allclose(np.asarray(g_mxu25), np.asarray(g_ref),
                                    atol=1e-5)
 
     def test_mxu_impl_extreme_scores_stable(self, rng):

@@ -139,6 +139,8 @@ def diag(mdl, p, bs, label, with_conf=False):
 
 S1 = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
 S2 = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+CONF_LR = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
+print(f"config: S1={S1} S2={S2} conf_lr={CONF_LR}", flush=True)
 t0 = time.time()
 for s in range(S1):
     b = build_set(MB)
@@ -152,7 +154,7 @@ matcher2 = MultiViewMatcher(MatcherConfig(gnn_layers=default_gnn_layers(3,1),
 m2 = matcher2.init(key, ev[1][:1], ev[2][:1], ev[0][:1], jnp.full((1,V,2), float(H)))
 params2, missing, _ = _graft(m2["params"], params)
 bstats2, _, _ = _graft(m2["batch_stats"], bstats)
-tx2 = build_optimizer(1e-5, 1.0, 0, 0, pose_loss=True)
+tx2 = build_optimizer(1e-5, 1.0, 0, 0, pose_loss=True, conf_mlp_lr=CONF_LR)
 opt2 = tx2.init(params2)
 
 @jax.jit
