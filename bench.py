@@ -181,19 +181,26 @@ def main():
                    np.float32), (B, V, 3, 3)).copy()
     conf_w = jnp.where(matches0 >= 0, conf, 0.0)
 
-    def pose_stage():
-        return multi_view_pose_pipeline_batch(kpts, intr, matches0, conf_w)
+    def pose_stage(profile=None):
+        return multi_view_pose_pipeline_batch(kpts, intr, matches0, conf_w,
+                                              profile=profile)
 
     pose_stage()  # compile both jitted stages
-    t_pose_l = []
+    t_pose_l, profiles = [], []
     for _ in range(4):
+        prof = {}
         t0 = time.perf_counter()
-        extr = pose_stage()
+        extr = pose_stage(profile=prof)
         _ = float(np.asarray(extr).ravel()[0])
         t_pose_l.append(time.perf_counter() - t0)
+        profiles.append(prof)
     t_pose = min(t_pose_l)
+    prof = profiles[int(np.argmin(t_pose_l))]
     print(f"pose pipeline: {t_pose * 1e3:.1f} ms ({B} tuples) -> "
-          f"{t_pose / B * 1e3:.1f} ms/tuple", flush=True)
+          f"{t_pose / B * 1e3:.1f} ms/tuple "
+          f"[rel-pose {prof.get('stage_a_s', 0) * 1e3:.1f} ms | "
+          f"tree(host) {prof.get('tree_host_s', 0) * 1e3:.1f} ms | "
+          f"averaging+BA {prof.get('stage_b_s', 0) * 1e3:.1f} ms]", flush=True)
 
     t_tuple = (t_sp + t_m + t_pose) / B
     tuples_per_s = 1.0 / t_tuple

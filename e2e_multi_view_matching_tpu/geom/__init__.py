@@ -13,8 +13,13 @@ from e2e_multi_view_matching_tpu.geom.lie import (
     se3_log,
 )
 from e2e_multi_view_matching_tpu.geom.linalg import (
+    eig_thresholded_solve,
+    inv3x3,
+    inv4x4,
+    jacobi_eigh,
     safe_eigh,
     smallest_eigvec,
+    smallest_eigvec_ii,
     weighted_nullvec,
 )
 from e2e_multi_view_matching_tpu.geom.epipolar import (

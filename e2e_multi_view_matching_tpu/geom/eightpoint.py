@@ -28,7 +28,7 @@ from e2e_multi_view_matching_tpu.geom.epipolar import (
     triangulate_points,
 )
 from e2e_multi_view_matching_tpu.geom.lie import make_transform
-from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh, weighted_nullvec
+from e2e_multi_view_matching_tpu.geom.linalg import smallest_eigvec_ii, weighted_nullvec
 from e2e_multi_view_matching_tpu.geom.metrics import (
     rotation_angle_error,
     translation_angle_error,
@@ -52,10 +52,8 @@ class W8ptInfo(NamedTuple):
 
 def _rank2_project(F):
     """Project (..., 3, 3) onto the rank-2 manifold: F - sigma3 u3 v3^T."""
-    _, Vv = safe_eigh(jnp.swapaxes(F, -1, -2) @ F)
-    v3 = Vv[..., :, 0]  # smallest eigenvalue direction of F^T F
-    _, Vu = safe_eigh(F @ jnp.swapaxes(F, -1, -2))
-    u3 = Vu[..., :, 0]
+    v3 = smallest_eigvec_ii(jnp.swapaxes(F, -1, -2) @ F, n_iters=4)
+    u3 = smallest_eigvec_ii(F @ jnp.swapaxes(F, -1, -2), n_iters=4)
     sigma3 = jnp.einsum("...i,...ij,...j->...", u3, F, v3)
     return F - sigma3[..., None, None] * (u3[..., :, None] * v3[..., None, :])
 

@@ -7,14 +7,17 @@ TPU-native replacement of the kornia surface used by the reference
 `triangulate_points`, `symmetrical_epipolar_distance`, `depth_from_point`).
 
 Design notes (TPU-first):
-- All decompositions route through `safe_eigh` on small Gram matrices instead of
-  tall SVDs: stable clamped gradients, MXU-friendly batched matmuls.
+- All decompositions route through closed-form small-matrix kernels
+  (adjugate inverse iteration, polar orthogonalization -- see geom/linalg.py)
+  on tiny Gram matrices instead of tall SVDs or XLA's iterative eigh: stable
+  smooth gradients, MXU/VPU-friendly straight-line code.
 - Validity is expressed through weights/masks, never ragged shapes.
 """
 
+import jax
 import jax.numpy as jnp
 
-from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh, smallest_eigvec
+from e2e_multi_view_matching_tpu.geom.linalg import smallest_eigvec_ii
 
 _EPS = 1e-8
 
@@ -108,7 +111,9 @@ def triangulate_points(P0, P1, x0, x1):
 
     A = jnp.concatenate([rows(P0, x0), rows(P1, x1)], axis=-2)  # (..., N, 4, 4)
     G = jnp.einsum("...ij,...ik->...jk", A, A)  # (..., N, 4, 4)
-    h = smallest_eigvec(G)  # (..., N, 4)
+    # per-point 4x4 smallest eigenvector: closed-form damped inverse iteration
+    # (an XLA eigh here costs ~the entire pose pipeline; see geom/linalg.py)
+    h = smallest_eigvec_ii(G, n_iters=4)  # (..., N, 4)
     wcomp = h[..., 3]
     sign = jnp.where(wcomp >= 0, 1.0, -1.0)
     denom = sign * jnp.maximum(jnp.abs(wcomp), _EPS)
@@ -148,27 +153,54 @@ def sym_epipolar_distance(x0, x1, F, squared=True):
 
 
 def _essential_uv(E):
-    """Consistent (U, V) with E ~ U diag(s) V^T via eigh of the two 3x3 Grams.
+    """Consistent (U, V) with E ~ U diag(s) V^T, eigh-free and SVD-equivalent.
 
-    Differentiable through `safe_eigh`; avoids full SVD (whose gradient breaks on
-    the repeated singular values sigma1 = sigma2 of a true essential matrix).
+    TPU-first design (no XLA eigh/SVD kernel, pure elementwise + tiny matmuls,
+    smooth gradients even at the repeated singular values sigma1 = sigma2 of a
+    true essential matrix where SVD/eigh gradients blow up):
+
+    1. v3 = null direction of E (damped inverse iteration on E^T E).
+    2. {v1, v2} = ANY orthonormal completion of v3.
+    3. U's top-2 frame from the POLAR decomposition of M = [E v1, E v2]:
+       U12 = M (M^T M)^{-1/2} (closed-form 2x2 inverse sqrt). Polar
+       orthogonalization is equivariant under rotations of the {v1, v2} basis
+       -- M -> M Q gives U12 -> U12 Q -- so the resulting candidate motions are
+       EXACTLY those of the true SVD basis, for any rank-2 E, without ever
+       resolving the (possibly degenerate) top-2 eigenpair. (A Gram-Schmidt
+       here instead would bias toward v1 and deviate by O(sigma1 - sigma2).)
     """
-    # V columns: eigenvectors of E^T E, descending eigenvalue order.
-    wv, V = safe_eigh(jnp.swapaxes(E, -1, -2) @ E)
-    V = V[..., ::-1]  # descending
-    # `maximum` (not clip) so the zero eigenvalue of a rank-2 E contributes a
-    # zero tangent rather than sqrt'(0) = inf.
-    s = jnp.sqrt(jnp.maximum(wv[..., ::-1], 1e-12))
-    # U_i = E v_i / s_i for the two leading directions, u3 = u1 x u2.
-    Ev = E @ V  # columns E v_i
-    u1 = Ev[..., :, 0] / jnp.maximum(s[..., 0:1], _EPS)
-    u2 = Ev[..., :, 1] / jnp.maximum(s[..., 1:2], _EPS)
-    u1 = u1 / safe_norm(u1, axis=-1, keepdims=True)
-    # Gram-Schmidt to keep U orthonormal under noise.
-    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
-    u2 = u2 / safe_norm(u2, axis=-1, keepdims=True)
+    G = jnp.swapaxes(E, -1, -2) @ E
+    v3 = smallest_eigvec_ii(G, n_iters=4)
+    # deterministic orthonormal completion: project out v3 from the basis
+    # vector least aligned with it (branchless one-hot pick)
+    k = jnp.argmin(jnp.abs(v3), axis=-1)
+    e_k = jax.nn.one_hot(k, 3, dtype=E.dtype)
+    v1 = e_k - jnp.sum(e_k * v3, axis=-1, keepdims=True) * v3
+    v1 = v1 / safe_norm(v1, axis=-1, keepdims=True)
+    v2 = jnp.cross(v3, v1)
+    V = jnp.stack([v1, v2, v3], axis=-1)  # columns; null direction last
+
+    m1 = jnp.einsum("...ij,...j->...i", E, v1)
+    m2 = jnp.einsum("...ij,...j->...i", E, v2)
+    a11 = jnp.sum(m1 * m1, axis=-1)
+    a12 = jnp.sum(m1 * m2, axis=-1)
+    a22 = jnp.sum(m2 * m2, axis=-1)
+    # closed-form inverse square root of the 2x2 SPD Gram A = M^T M:
+    # A^{1/2} = (A + sqrt(det) I) / sqrt(tr + 2 sqrt(det))
+    d = jnp.sqrt(jnp.maximum(a11 * a22 - a12 * a12, 0.0))
+    t = jnp.sqrt(jnp.maximum(a11 + a22 + 2.0 * d, _EPS))
+    den = jnp.maximum((a11 + d) * (a22 + d) - a12 * a12, _EPS)
+    f = t / den
+    b11 = f * (a22 + d)
+    b12 = -f * a12
+    b22 = f * (a11 + d)
+    u1 = m1 * b11[..., None] + m2 * b12[..., None]
+    u2 = m1 * b12[..., None] + m2 * b22[..., None]
     u3 = jnp.cross(u1, u2)
     U = jnp.stack([u1, u2, u3], axis=-1)
+    s = jnp.stack([jnp.sqrt(jnp.maximum(a11, 0.0)),
+                   jnp.sqrt(jnp.maximum(a22, 0.0)),
+                   jnp.zeros_like(a11)], axis=-1)
     return U, s, V
 
 

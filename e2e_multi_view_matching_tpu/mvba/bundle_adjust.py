@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from e2e_multi_view_matching_tpu.geom.lie import hat, se3_exp
-from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh
+from e2e_multi_view_matching_tpu.geom.linalg import (
+    eig_thresholded_solve,
+    inv3x3,
+    smallest_eigvec_ii,
+)
 
 _Z_EPS = 1e-6
 
@@ -64,8 +68,7 @@ def _triangulate_pairwise(extr, cam_a, cam_b, xa, xb):
 
     A = jnp.concatenate([rows(Pa, xa), rows(Pb, xb)], axis=1)  # (P, 4, 4)
     G = jnp.einsum("pij,pik->pjk", A, A)
-    _, V = safe_eigh(G)
-    h = V[..., :, 0]
+    h = smallest_eigvec_ii(G, n_iters=3)
     wc = h[:, 3]
     sign = jnp.where(wc >= 0, 1.0, -1.0)
     return h[:, :3] / (sign * jnp.maximum(jnp.abs(wc), 1e-9))[:, None]
@@ -139,15 +142,24 @@ def bundle_adjust_multi_view(
         r_norm = jnp.sum(ra * ra) + jnp.sum(rb * rb)
         return ra, rb, Jpa, Jpb, Jca, Jcb, r_norm
 
+    # one-hot camera assignments: Hessian assembly becomes MXU matmuls over the
+    # observation axis instead of serialized scatter-adds (N is tiny & static)
+    oh_a = jax.nn.one_hot(cam_a, N, dtype=dtype)  # (P, N)
+    oh_b = jax.nn.one_hot(cam_b, N, dtype=dtype)
+    oh_aa = (oh_a[:, :, None] * oh_a[:, None, :]).reshape(-1, N * N)  # (P, N*N)
+    oh_ab = (oh_a[:, :, None] * oh_b[:, None, :]).reshape(-1, N * N)
+    oh_ba = (oh_b[:, :, None] * oh_a[:, None, :]).reshape(-1, N * N)
+    oh_bb = (oh_b[:, :, None] * oh_b[:, None, :]).reshape(-1, N * N)
+
     def lm_step(extr, X, damp):
         ra, rb, Jpa, Jpb, Jca, Jcb, r_norm = residual_system(extr, X)
-        # per-camera diagonal blocks and gradients (scatter-add by camera id)
-        Hcc = jnp.zeros((N, 6, 6), dtype)
-        Hcc = Hcc.at[cam_a].add(jnp.einsum("pri,prj->pij", Jca, Jca))
-        Hcc = Hcc.at[cam_b].add(jnp.einsum("pri,prj->pij", Jcb, Jcb))
-        bc = jnp.zeros((N, 6), dtype)
-        bc = bc.at[cam_a].add(-jnp.einsum("pri,pr->pi", Jca, ra))
-        bc = bc.at[cam_b].add(-jnp.einsum("pri,pr->pi", Jcb, rb))
+        # per-camera diagonal blocks and gradients
+        Hcc = jnp.einsum("pn,pri,prj->nij", oh_a, Jca, Jca) + jnp.einsum(
+            "pn,pri,prj->nij", oh_b, Jcb, Jcb
+        )
+        bc = -jnp.einsum("pn,pri,pr->ni", oh_a, Jca, ra) - jnp.einsum(
+            "pn,pri,pr->ni", oh_b, Jcb, rb
+        )
         # point blocks
         Hpp = jnp.einsum("pri,prj->pij", Jpa, Jpa) + jnp.einsum(
             "pri,prj->pij", Jpb, Jpb
@@ -164,22 +176,24 @@ def bundle_adjust_multi_view(
         Hcc_d = Hcc + damp * (
             eye6 * jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-8)[..., None, :]
         )
-        # 3x3 point inverses via eigh (safe for disabled points where Hpp ~ 0)
-        lamp, Vp = safe_eigh(Hpp_d)
-        lamp_inv = jnp.where(lamp > 1e-12, 1.0 / jnp.maximum(lamp, 1e-12), 0.0)
-        Hpp_inv = jnp.einsum("pij,pj,pkj->pik", Vp, lamp_inv, Vp)
+        # 3x3 point inverses: closed-form adjugate (no XLA eigh inside the LM
+        # loop). Disabled points have Hpp_d ~ damp*1e-8*I, whose large-but-
+        # finite inverse only ever multiplies their zero Hcp/bp blocks.
+        Hpp_inv = inv3x3(Hpp_d)
 
         Ya = jnp.einsum("pij,pjl->pil", Hcpa, Hpp_inv)  # (P, 6, 3)
         Yb = jnp.einsum("pij,pjl->pil", Hcpb, Hpp_inv)
-        # Schur blocks: S[c1, c2] -= Y_{c1} Hcp_{c2}^T for the cameras of each point
-        corr = jnp.zeros((N, N, 6, 6), dtype)
-        corr = corr.at[cam_a, cam_a].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpa))
-        corr = corr.at[cam_a, cam_b].add(-jnp.einsum("pil,pjl->pij", Ya, Hcpb))
-        corr = corr.at[cam_b, cam_a].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpa))
-        corr = corr.at[cam_b, cam_b].add(-jnp.einsum("pil,pjl->pij", Yb, Hcpb))
-        rhs_corr = jnp.zeros((N, 6), dtype)
-        rhs_corr = rhs_corr.at[cam_a].add(-jnp.einsum("pij,pj->pi", Ya, bp))
-        rhs_corr = rhs_corr.at[cam_b].add(-jnp.einsum("pij,pj->pi", Yb, bp))
+        # Schur blocks: S[c1, c2] -= Y_{c1} Hcp_{c2}^T for the cameras of each
+        # point -- assembled with one-hot matmuls over the observation axis
+        corr = -(
+            jnp.einsum("pm,pil,pjl->mij", oh_aa, Ya, Hcpa)
+            + jnp.einsum("pm,pil,pjl->mij", oh_ab, Ya, Hcpb)
+            + jnp.einsum("pm,pil,pjl->mij", oh_ba, Yb, Hcpa)
+            + jnp.einsum("pm,pil,pjl->mij", oh_bb, Yb, Hcpb)
+        ).reshape(N, N, 6, 6)
+        rhs_corr = -jnp.einsum("pn,pij,pj->ni", oh_a, Ya, bp) - jnp.einsum(
+            "pn,pij,pj->ni", oh_b, Yb, bp
+        )
         if axis_name is not None:
             # all-reduce the reduced camera system over the observation shards
             Hcc = jax.lax.psum(Hcc, axis_name)
@@ -198,11 +212,9 @@ def bundle_adjust_multi_view(
 
         S = Sblocks[1:, 1:].transpose(0, 2, 1, 3).reshape(free * 6, free * 6)
         rhs = rhs_c[1:].reshape(free * 6)
-        lam, V = safe_eigh(S)
-        lam_max = jnp.maximum(lam[-1], 1e-12)
-        good = lam > 1e-5 * lam_max
-        inv_lam = jnp.where(good, 1.0 / jnp.where(good, lam, 1.0), 0.0)
-        delta_c = (V * inv_lam[None, :]) @ (V.T @ rhs)  # (free*6,)
+        # thresholded reduced solve (scale gauge survives fixing camera 0;
+        # unrolled Jacobi keeps the LM loop free of XLA eigh kernels)
+        delta_c = eig_thresholded_solve(S, rhs, n_sweeps=8)
         delta_c = jnp.concatenate(
             [jnp.zeros((1, 6), dtype), delta_c.reshape(free, 6)], axis=0
         )  # (N, 6)

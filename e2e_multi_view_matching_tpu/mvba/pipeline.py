@@ -18,6 +18,7 @@ Static shapes: every pair contributes exactly K match slots; invalid matches
 ride along with zero confidence.
 """
 
+import time
 from dataclasses import dataclass
 from functools import partial
 
@@ -204,13 +205,15 @@ def _ransac_relative_poses(kpts_i, kpts_j, intr_i, intr_j, conf, cfg):
 
 
 def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
-                                   cfg=MultiViewPipelineConfig()):
+                                   cfg=MultiViewPipelineConfig(), profile=None):
     """Estimate absolute extrinsics for a batch of view tuples.
 
     Batched version of `multi_view_pose_pipeline`: stage A (robust relative
     poses) runs once over all B*P pairs, the spanning trees are chained on the
     host (tiny), and the averaging+BA stage is vmapped over tuples -- two
-    device dispatches total instead of two per tuple.
+    device dispatches total instead of two per tuple. Exactly ONE device->host
+    transfer happens between the stages (a packed f32 vector of relative poses
+    + inlier counts + validity); the pose/keypoint tensors stay on device.
 
     Args:
         kpts: (B, V, K, 2) pixel keypoints per view.
@@ -220,9 +223,13 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
             range(j)]), -1 = unmatched.
         conf: (B, P, K) per-match confidences of the pairs.
         cfg: pipeline configuration.
+        profile: optional dict; filled with wall-clock seconds per stage
+            (keys `stage_a_s` rel-pose dispatch+fetch, `tree_host_s` spanning
+            trees, `stage_b_s` averaging+BA dispatch+fetch).
     Returns:
         (B, V, 4, 4) numpy extrinsics (world->cam, camera 0 = identity frame).
     """
+    t0 = time.perf_counter()
     kpts = jnp.asarray(kpts)
     intr = jnp.asarray(intr)[..., :3, :3]
     matches0 = jnp.asarray(matches0)
@@ -250,6 +257,9 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
             np.asarray(intr_j).reshape(B * P, 3, 3),
             np.asarray(conf_m).reshape(B * P, K), cfg,
         )
+        T_rel_np = T_rel.reshape(B, P, 4, 4)
+        counts_np = inlier_count.reshape(B, P)
+        valid_np = pose_valid.reshape(B, P)
         T_rel = jnp.asarray(T_rel)
         conf_gated = jnp.asarray(conf_gated)
     else:
@@ -258,11 +268,21 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
             intr_i.reshape(B * P, 3, 3), intr_j.reshape(B * P, 3, 3),
             conf_m.reshape(B * P, K), cfg.two_view_ba_iterations,
         )
+        # single packed device->host fetch for the tiny host stage (each
+        # separate np.asarray costs a tunnel round trip, ~30 ms on axon)
+        packed = np.asarray(jnp.concatenate([
+            jnp.ravel(T_rel), inlier_count.astype(jnp.float32).ravel(),
+            pose_valid.astype(jnp.float32).ravel(),
+        ]))
+        T_rel_np = packed[: B * P * 16].reshape(B, P, 4, 4)
+        counts_np = packed[B * P * 16 : B * P * 17].reshape(B, P).astype(np.int32)
+        valid_np = packed[B * P * 17 :].reshape(B, P) > 0.5
+    if profile is not None:
+        t1 = time.perf_counter()
+        profile["stage_a_s"] = t1 - t0
+        t0 = t1
 
     # host: one spanning tree per tuple over inlier counts
-    T_rel_np = np.asarray(T_rel).reshape(B, P, 4, 4)
-    counts_np = np.asarray(inlier_count).reshape(B, P)
-    valid_np = np.asarray(pose_valid).reshape(B, P)
     extr_tree = np.zeros((B, V, 4, 4), np.float32)
     edge_valid = np.zeros((B, P), bool)
     for b in range(B):
@@ -277,6 +297,10 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
             and (counts_np[b, p] >= cfg.min_inliers or pairs[p] in tree_set)
             for p in range(P)
         ]
+    if profile is not None:
+        t1 = time.perf_counter()
+        profile["tree_host_s"] = t1 - t0
+        t0 = t1
 
     # flatten observations: one point per match slot of every pair
     x_i_n = normalize_keypoints(kpts_i, intr_i)  # (B, P, K, 2)
@@ -301,7 +325,10 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
         cam_b,
         cfg,
     )
-    return np.asarray(extr_ba)
+    out = np.asarray(extr_ba)
+    if profile is not None:
+        profile["stage_b_s"] = time.perf_counter() - t0
+    return out
 
 
 def multi_view_pose_pipeline(kpts, intr, matches0, conf, cfg=MultiViewPipelineConfig()):

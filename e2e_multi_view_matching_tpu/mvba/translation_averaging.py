@@ -12,9 +12,9 @@ camera j, eliminate the unknown edge scales analytically --
 
 -- a weighted *projection* Laplacian quadratic form. With the translation gauge
 fixed (c_0 = 0) its null space is exactly the 1-D scale gauge, so the solution
-is the smallest eigenvector of the reduced 3(N-1) x 3(N-1) system via
-`safe_eigh` (the same Gram/eigh machinery as the eight-point solver: one tiny
-eigendecomposition, no alternating iterations). An IRLS loop reweights edges by
+is the smallest eigenvector of the reduced 3(N-1) x 3(N-1) system via damped
+inverse iteration (`smallest_eigvec_ii`: one Cholesky + a few triangular
+solves, no XLA eigh kernel). An IRLS loop reweights edges by
 1/max(residual, delta) for the least-unsquared-deviations objective; sign and
 scale are fixed against the chained spanning-tree init.
 """
@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh
+from e2e_multi_view_matching_tpu.geom.linalg import smallest_eigvec_ii
 
 
 @partial(jax.jit, static_argnames=("n_irls",))
@@ -68,8 +68,9 @@ def translation_averaging(
         M = jnp.einsum("e,ea,eb,eij->aibj", wgt, Ae, Ae, Proj)
         n = (N - 1) * 3
         M = M.reshape(n, n)
-        _, V = safe_eigh(M)
-        c_rest = V[:, 0].reshape(N - 1, 3)  # scale-gauge null vector
+        # the scale-gauge null vector: strongly gapped (lam1 ~ 0 exactly), so
+        # damped inverse iteration nails it without an XLA eigh kernel
+        c_rest = smallest_eigvec_ii(M, n_iters=4).reshape(N - 1, 3)
         # sign + scale alignment to the init
         num = jnp.sum(c_rest * c_rel_init)
         den = jnp.maximum(jnp.sum(c_rest * c_rest), 1e-12)

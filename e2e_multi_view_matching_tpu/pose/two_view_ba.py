@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from e2e_multi_view_matching_tpu.geom.epipolar import triangulate_points
 from e2e_multi_view_matching_tpu.geom.lie import hat, se3_exp
-from e2e_multi_view_matching_tpu.geom.linalg import safe_eigh
+from e2e_multi_view_matching_tpu.geom.linalg import eig_thresholded_solve, inv3x3
 
 _Z_EPS = 1e-6
 
@@ -64,25 +64,8 @@ def _project_with_jac(T, X):
 
 
 def _inv3x3(M, eps=1e-12):
-    """Batched closed-form 3x3 inverse via adjugate (vmap/einsum friendly)."""
-    a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
-    d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
-    g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    sign = jnp.where(det >= 0, 1.0, -1.0)
-    det_safe = sign * jnp.maximum(jnp.abs(det), eps)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
-            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
-            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
-        ],
-        axis=-2,
-    )
-    return adj / det_safe[..., None, None]
+    """Batched closed-form 3x3 inverse (adjugate; see geom/linalg.py)."""
+    return inv3x3(M, det_eps=eps)
 
 
 @partial(jax.jit, static_argnames=("n_iterations", "retriangulate"))
@@ -197,13 +180,8 @@ def bundle_adjust_two_view(
         # with small damping takes huge objective-invariant steps along it and
         # stalls. Zeroing step components whose curvature is below a relative
         # threshold kills the gauge direction and any f32 assembly noise.
-        lam, V = safe_eigh(S)
-        lam_max = jnp.maximum(lam[..., -1:], 1e-12)
-        good = lam > 1e-5 * lam_max
-        inv_lam = jnp.where(good, 1.0 / jnp.where(good, lam, 1.0), 0.0)
-        delta_c = jnp.einsum(
-            "bij,bj,bkj,bk->bi", V, inv_lam, V, rhs
-        )  # V diag(inv_lam) V^T rhs
+        # (Unrolled-Jacobi solve: no XLA eigh kernel inside the LM loop.)
+        delta_c = eig_thresholded_solve(S, rhs, n_sweeps=6)
         delta_p = jnp.einsum(
             "bkij,bkj->bki", Hpp_inv, bp - jnp.einsum("bklj,bl->bkj", Hcp, delta_c)
         )
