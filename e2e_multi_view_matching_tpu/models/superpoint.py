@@ -160,35 +160,33 @@ def sample_descriptors(kpts, desc_map, cell=8):
         (B, K, D) unit descriptors.
     """
     B, Hc, Wc, D = desc_map.shape
-    # Map pixel coords to coarse-grid coords (upstream convention: centers of
-    # 8x8 cells; pixel p maps to (p - cell/2 + 0.5) / cell).
-    gx = (kpts[..., 0] - cell / 2 + 0.5) / cell
-    gy = (kpts[..., 1] - cell / 2 + 0.5) / cell
-    gx = jnp.clip(gx, 0.0, Wc - 1.0)
-    gy = jnp.clip(gy, 0.0, Hc - 1.0)
+    # Upstream sample_descriptors (magicleap superpoint.py): pixel p maps to
+    # the normalized coordinate (p - cell/2 + 0.5) / (dim*cell - cell/2 - 0.5)
+    # in ~[0, 1], then grid_sample(align_corners=True) reads the grid at
+    # g * (dim - 1) with ZERO padding for out-of-range corner taps. This is
+    # NOT the same as (p - cell/2 + 0.5)/cell with clipping; imported
+    # checkpoints require the exact convention (tests/test_golden_full_model
+    # TestFullSuperPointGolden).
+    gx = (kpts[..., 0] - cell / 2 + 0.5) / (Wc * cell - cell / 2 - 0.5) * (Wc - 1)
+    gy = (kpts[..., 1] - cell / 2 + 0.5) / (Hc * cell - cell / 2 - 0.5) * (Hc - 1)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, Wc - 1)
-    y1 = jnp.minimum(y0 + 1, Hc - 1)
-    wx = gx - x0
-    wy = gy - y0
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
+
+    flat = desc_map.reshape(B, Hc * Wc, D)
 
     def gather(yi, xi):
-        # (B, K) indices -> (B, K, D)
-        flat = desc_map.reshape(B, Hc * Wc, D)
-        idx = yi * Wc + xi
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+        # (B, K) indices -> (B, K, D); out-of-range taps contribute zero.
+        valid = (yi >= 0) & (yi < Hc) & (xi >= 0) & (xi < Wc)
+        idx = jnp.clip(yi, 0, Hc - 1) * Wc + jnp.clip(xi, 0, Wc - 1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None]
 
-    d00 = gather(y0, x0)
-    d01 = gather(y0, x1)
-    d10 = gather(y1, x0)
-    d11 = gather(y1, x1)
-    wx = wx[..., None]
-    wy = wy[..., None]
     d = (
-        d00 * (1 - wx) * (1 - wy)
-        + d01 * wx * (1 - wy)
-        + d10 * (1 - wx) * wy
-        + d11 * wx * wy
+        gather(y0, x0) * (1 - wx) * (1 - wy)
+        + gather(y0, x0 + 1) * wx * (1 - wy)
+        + gather(y0 + 1, x0) * (1 - wx) * wy
+        + gather(y0 + 1, x0 + 1) * wx * wy
     )
-    return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)

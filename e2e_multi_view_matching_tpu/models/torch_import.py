@@ -77,12 +77,22 @@ def _import_mlp(sd, prefix, n_layers):
     return params, stats
 
 
-def import_matcher(state_dict, gnn_layers):
+def import_matcher(state_dict, gnn_layers, num_heads=4):
     """Reference matcher state dict -> flax variables (params + batch_stats).
+
+    Head-split convention: upstream SuperGlue views the (B, D, N) projection
+    output as (B, dim_head, num_heads, N) -- the HEAD index is the innermost
+    channel factor -- while our MHA reshapes (B, N, D) to (B, N, heads,
+    dim_head) (head outermost). Attention probabilities are invariant under a
+    consistent per-channel permutation of the q/k/v outputs and the merge
+    input, so the importer permutes those channels (`_head_perm`) and the flax
+    forward reproduces the upstream forward EXACTLY (verified end to end by
+    tests/test_golden_full_model.py).
 
     Args:
         state_dict: name -> array mapping (torch tensors already .numpy()'d).
         gnn_layers: the layer-type schedule tuple (('self', 'cross', ...)).
+        num_heads: attention head count of the checkpoint (upstream: 4).
     Returns:
         {"params": ..., "batch_stats": ...} matching `MultiViewMatcher`.
     """
@@ -95,26 +105,24 @@ def import_matcher(state_dict, gnn_layers):
     if kenc_s:
         stats["kenc"] = kenc_s
 
+    # channel permutation: our channel (head * dh + d) reads upstream channel
+    # (d * num_heads + head)
+    D_attn = np.asarray(sd["final_proj.weight"]).shape[0]
+    dh = D_attn // num_heads
+    perm = np.arange(D_attn).reshape(dh, num_heads).T.ravel()
+
     for li, layer_type in enumerate(gnn_layers):
         src = f"gnn.layers.{li}"
         dst = f"gnn_{li}_{layer_type}"
-        layer_p = {
-            "q_proj": {
-                "kernel": _conv1d_to_dense(np.asarray(sd[f"{src}.attn.proj.0.weight"])),
-                "bias": np.asarray(sd[f"{src}.attn.proj.0.bias"]),
-            },
-            "k_proj": {
-                "kernel": _conv1d_to_dense(np.asarray(sd[f"{src}.attn.proj.1.weight"])),
-                "bias": np.asarray(sd[f"{src}.attn.proj.1.bias"]),
-            },
-            "v_proj": {
-                "kernel": _conv1d_to_dense(np.asarray(sd[f"{src}.attn.proj.2.weight"])),
-                "bias": np.asarray(sd[f"{src}.attn.proj.2.bias"]),
-            },
-            "merge": {
-                "kernel": _conv1d_to_dense(np.asarray(sd[f"{src}.attn.merge.weight"])),
-                "bias": np.asarray(sd[f"{src}.attn.merge.bias"]),
-            },
+        layer_p = {}
+        for name, j in (("q_proj", 0), ("k_proj", 1), ("v_proj", 2)):
+            w = _conv1d_to_dense(np.asarray(sd[f"{src}.attn.proj.{j}.weight"]))
+            b = np.asarray(sd[f"{src}.attn.proj.{j}.bias"])
+            layer_p[name] = {"kernel": w[:, perm], "bias": b[perm]}
+        merge_w = _conv1d_to_dense(np.asarray(sd[f"{src}.attn.merge.weight"]))
+        layer_p["merge"] = {
+            "kernel": merge_w[perm, :],
+            "bias": np.asarray(sd[f"{src}.attn.merge.bias"]),
         }
         mlp_p, mlp_s = _import_mlp(sd, f"{src}.mlp", 2)
         layer_p["mlp"] = mlp_p
