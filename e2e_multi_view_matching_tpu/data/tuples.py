@@ -106,9 +106,18 @@ class MatchingTupleDataset:
         self.n_samples = n_samples
         self.jitter = jitter
         self.exclude_set = set()
+        # `self.rng` drives TUPLE SAMPLING only (start_epoch/_make_tuple): every
+        # process consumes it identically, so multi-host processes agree on the
+        # global tuple list. Per-item randomness (jitter, crops) uses
+        # `_item_rng` instead -- deterministic in (seed, epoch, index), hence
+        # identical under any process/batch layout and safe under the threaded
+        # batch_iterator (a shared Generator in __getitem__ would be a data
+        # race AND would diverge across processes that load disjoint slices).
+        self.seed = seed
+        self.epoch = 0
         self.rng = np.random.default_rng(seed)
         self.sampled_tuples = []
-        self.start_epoch(make_exclude_set=True)
+        self.start_epoch(make_exclude_set=True, _first=True)
         self.scenes = [s for s in self.scenes if s not in self.exclude_set]
 
     # -- tuple sampling ----------------------------------------------------
@@ -131,8 +140,10 @@ class MatchingTupleDataset:
             self.rng.shuffle(result)
         return result
 
-    def start_epoch(self, make_exclude_set=False):
+    def start_epoch(self, make_exclude_set=False, _first=False):
         """Resample all tuples (`matching_dataset.py:68-108`; called per epoch)."""
+        if not _first:
+            self.epoch += 1
         tuples = []
         for scene in self.scenes:
             overlap_path = os.path.join(
@@ -191,13 +202,17 @@ class MatchingTupleDataset:
     def __len__(self):
         return len(self.sampled_tuples)
 
-    def _crop_square(self, rgb, depth, intr, center):
+    def _item_rng(self, index):
+        """Per-item Generator, deterministic in (seed, epoch, index)."""
+        return np.random.default_rng((self.seed, self.epoch, index))
+
+    def _crop_square(self, rgb, depth, intr, center, rng):
         h, w = depth.shape
         if w > h:
-            left = int((w - h) / 2) if center else int(self.rng.integers(0, w - h + 1))
+            left = int((w - h) / 2) if center else int(rng.integers(0, w - h + 1))
             top, bottom, right = 0, h, left + h
         else:
-            top = int((h - w) / 2) if center else int(self.rng.integers(0, h - w + 1))
+            top = int((h - w) / 2) if center else int(rng.integers(0, h - w + 1))
             left, right, bottom = 0, w, top + w
         intr = crop_intrinsics(intr, left, top)
         return rgb[top:bottom, left:right], depth[top:bottom, left:right], intr
@@ -252,8 +267,9 @@ class MatchingTupleDataset:
         per_image_intr = is_megadepth or "matterport" in self.data_split_dir
         if not per_image_intr:
             scene_intr = read_intrinsics(self.data_split_dir, scene)
+        item_rng = self._item_rng(index)
         jitter_p = (
-            _color_jitter_params(self.rng, self.jitter) if self.jitter else None
+            _color_jitter_params(item_rng, self.jitter) if self.jitter else None
         )
         images, intrs, poses, depths = [], [], [], []
         for id in ids:
@@ -276,7 +292,7 @@ class MatchingTupleDataset:
                 ) as hf:
                     depth = np.asarray(hf["depth"], np.float32)
                 rgb, depth, intr = self._crop_square(
-                    rgb, depth, intr, center=(self.split == "test")
+                    rgb, depth, intr, center=(self.split == "test"), rng=item_rng
                 )
             else:
                 depth = read_depth(self.data_split_dir, scene, id)
