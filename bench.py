@@ -53,13 +53,26 @@ def _fetch(x):
 
 
 def timed(fn, *args, n=8):
-    fn(*args)
-    _fetch(fn(*args))
+    """Min wall time of `fn`, ending in a 4-byte device->host fetch.
+
+    The ending fetch must be a SCALAR reduced on device: fetching a whole
+    output leaf (e.g. SuperPoint's 42 MB descriptor tensor) times the tunnel
+    transfer, not the op (round-2 bench overstated the SuperPoint stage ~40%
+    this way). All leaves feed the reduction so nothing is dead-code-eliminated.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    red = jax.jit(lambda *a: sum(
+        jnp.sum(l.astype(jnp.float32))
+        for l in jax.tree_util.tree_leaves(fn(*a))
+    ))
+    red(*args)
+    _fetch(red(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _fetch(out)
+        _fetch(red(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

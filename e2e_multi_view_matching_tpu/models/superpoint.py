@@ -33,35 +33,43 @@ class SuperPointConfig:
     remove_borders: int = 4
     fill_with_random_keypoints: bool = True
     descriptor_dim: int = 256
+    # MXU compute dtype for the conv trunk ("float32" | "bfloat16"). Params
+    # stay f32; heads' outputs are cast back to f32 before softmax/normalize.
+    # bf16 measured 66.4 vs 84.0 ms for 40 frames 480x640 on the v5e
+    # (tools/sp_profile.py); keypoint sets agree except at score ties.
+    compute_dtype: str = "float32"
 
 
 class SuperPointNet(nn.Module):
     """The convolutional trunk: image (B, H, W, 1) -> (heatmap logits, descriptors)."""
 
     descriptor_dim: int = 256
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, image):
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        dt = jnp.dtype(self.compute_dtype)
+        conv = lambda ch, k, name: nn.Conv(ch, k, name=name, dtype=dt)
         relu = nn.relu
         pool = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = relu(nn.Conv(c1, (3, 3), name="conv1a")(image))
-        x = relu(nn.Conv(c1, (3, 3), name="conv1b")(x))
+        x = relu(conv(c1, (3, 3), "conv1a")(image.astype(dt)))
+        x = relu(conv(c1, (3, 3), "conv1b")(x))
         x = pool(x)
-        x = relu(nn.Conv(c2, (3, 3), name="conv2a")(x))
-        x = relu(nn.Conv(c2, (3, 3), name="conv2b")(x))
+        x = relu(conv(c2, (3, 3), "conv2a")(x))
+        x = relu(conv(c2, (3, 3), "conv2b")(x))
         x = pool(x)
-        x = relu(nn.Conv(c3, (3, 3), name="conv3a")(x))
-        x = relu(nn.Conv(c3, (3, 3), name="conv3b")(x))
+        x = relu(conv(c3, (3, 3), "conv3a")(x))
+        x = relu(conv(c3, (3, 3), "conv3b")(x))
         x = pool(x)
-        x = relu(nn.Conv(c4, (3, 3), name="conv4a")(x))
-        x = relu(nn.Conv(c4, (3, 3), name="conv4b")(x))
+        x = relu(conv(c4, (3, 3), "conv4a")(x))
+        x = relu(conv(c4, (3, 3), "conv4b")(x))
 
-        cPa = relu(nn.Conv(c5, (3, 3), name="convPa")(x))
-        heat = nn.Conv(65, (1, 1), name="convPb")(cPa)  # (B, H/8, W/8, 65)
+        cPa = relu(conv(c5, (3, 3), "convPa")(x))
+        heat = conv(65, (1, 1), "convPb")(cPa).astype(jnp.float32)
 
-        cDa = relu(nn.Conv(c5, (3, 3), name="convDa")(x))
-        desc = nn.Conv(self.descriptor_dim, (1, 1), name="convDb")(cDa)
+        cDa = relu(conv(c5, (3, 3), "convDa")(x))
+        desc = conv(self.descriptor_dim, (1, 1), "convDb")(cDa).astype(jnp.float32)
         desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
         return heat, desc
 
@@ -77,8 +85,16 @@ def simple_nms(scores, radius, n_iters=2):
     size = 2 * radius + 1
 
     def maxpool(x):
+        # The 2D max filter is exactly separable: one H pass + one W pass is
+        # 2*size comparisons/px instead of size^2 (identical output). Measured
+        # 5 fused (size,size) reduce_windows at 29.9 ms for 40 480x640 frames
+        # on the v5e (tools/sp_profile.py); separable cuts the comparison work
+        # ~4.5x.
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, size, 1), (1, 1, 1), "SAME"
+        )
         return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, size, size), (1, 1, 1), "SAME"
+            x, -jnp.inf, jax.lax.max, (1, 1, size), (1, 1, 1), "SAME"
         )
 
     zeros = jnp.zeros_like(scores)
@@ -106,7 +122,9 @@ class SuperPoint(nn.Module):
     def __call__(self, image, *, rng=None):
         cfg = self.config
         B, H, W, _ = image.shape
-        heat, desc_map = SuperPointNet(cfg.descriptor_dim, name="net")(image)
+        heat, desc_map = SuperPointNet(
+            cfg.descriptor_dim, cfg.compute_dtype, name="net"
+        )(image)
 
         # 65-way softmax per 8x8 cell, drop dustbin, unshuffle to full resolution.
         probs = jax.nn.softmax(heat, axis=-1)[..., :64]

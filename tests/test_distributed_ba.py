@@ -16,7 +16,86 @@ sys.path.insert(0, os.path.dirname(__file__))
 from test_mvba import TestMultiViewBA  # reuse the rig problem builder
 
 
+def _big_problem(rng, n_cams=12, pts_per_pair=800, noise=2e-4, cam_perturb=0.02):
+    """Vectorized rig builder: every camera pair observes `pts_per_pair` points.
+
+    12 cams -> 66 pairs x 800 = 52,800 observations; the scale VERDICT round 2
+    asked for (>=10 cameras / >=50k observations)."""
+    from test_mvba import make_rig, all_edges
+    from e2e_multi_view_matching_tpu.geom import lie
+
+    R_gt, c_gt = make_rig(rng, n_cams=n_cams, rot_scale=0.3, spread=1.0)
+    extr = np.zeros((n_cams, 4, 4), np.float32)
+    extr[:, 3, 3] = 1
+    for i in range(n_cams):
+        extr[i, :3, :3] = R_gt[i]
+        extr[i, :3, 3] = -R_gt[i] @ c_gt[i]
+    E = np.asarray(all_edges(n_cams))  # (P2, 2)
+    n_pairs = len(E)
+    X = rng.uniform(-2, 2, size=(n_pairs, pts_per_pair, 3))
+    X[..., 2] = rng.uniform(8, 16, size=(n_pairs, pts_per_pair))  # deep: in front of all
+    cam_a = np.repeat(E[:, 0], pts_per_pair).astype(np.int32)
+    cam_b = np.repeat(E[:, 1], pts_per_pair).astype(np.int32)
+    Xf = X.reshape(-1, 3)
+    pa = np.einsum("pij,pj->pi", extr[cam_a, :3, :3], Xf) + extr[cam_a, :3, 3]
+    pb = np.einsum("pij,pj->pi", extr[cam_b, :3, :3], Xf) + extr[cam_b, :3, 3]
+    keep = (pa[:, 2] > 0.5) & (pb[:, 2] > 0.5)
+    xa = pa[:, :2] / pa[:, 2:3] + rng.normal(size=(len(pa), 2)) * noise
+    xb = pb[:, :2] / pb[:, 2:3] + rng.normal(size=(len(pb), 2)) * noise
+    w = keep.astype(np.float32)  # cheirality rejects stay in-batch, zero-weight
+    extr_init = extr.copy()
+    for i in range(1, n_cams):
+        dw = rng.normal(size=3)
+        dw = dw / np.linalg.norm(dw) * cam_perturb
+        dT = np.eye(4, dtype=np.float32)
+        dT[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray(dw, dtype=jnp.float32)))
+        dT[:3, 3] = rng.normal(size=3) * cam_perturb
+        extr_init[i] = dT @ extr[i]
+    return (extr, extr_init.astype(np.float32), cam_a, cam_b,
+            xa.astype(np.float32), xb.astype(np.float32), Xf.astype(np.float32), w)
+
+
 class TestDistributedBA:
+    def test_at_scale_12cams_52k_obs(self, rng):
+        """Realistic-scale distributed BA (VERDICT r2 #10): 12 cameras, 52.8k
+        observations, 8-way observation sharding must reproduce the
+        single-device cameras and actually improve the rig."""
+        import time
+
+        builder = TestMultiViewBA()
+        extr, extr_init, cam_a, cam_b, xa, xb, Xw, w = _big_problem(rng)
+        assert len(cam_a) >= 50_000 and extr.shape[0] >= 10
+        args = (
+            jnp.asarray(extr_init), jnp.asarray(Xw), jnp.asarray(cam_a),
+            jnp.asarray(cam_b), jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(w),
+        )
+        jitted = jax.jit(partial(bundle_adjust_multi_view, n_iterations=8))
+        extr_ref, X_ref = jax.block_until_ready(jitted(*args))  # compile
+        t0 = time.perf_counter()
+        extr_ref, X_ref = jax.block_until_ready(jitted(*args))
+        t_single = time.perf_counter() - t0
+
+        mesh = make_mesh(n_devices=8, model_parallel=1)
+        extr_sh, X_sh = bundle_adjust_multi_view_sharded(
+            *args, mesh=mesh, axis="data", n_iterations=8
+        )
+        t0 = time.perf_counter()
+        extr_sh, X_sh = bundle_adjust_multi_view_sharded(
+            *args, mesh=mesh, axis="data", n_iterations=8
+        )
+        t_shard = time.perf_counter() - t0
+        extr_sh, X_sh = np.asarray(extr_sh), np.asarray(X_sh)
+
+        np.testing.assert_allclose(extr_sh, np.asarray(extr_ref), rtol=2e-3, atol=5e-5)
+        r, t = builder.max_pose_err(extr_sh, extr)
+        r0, t0_ = builder.max_pose_err(extr_init, extr)
+        assert r < 0.1 * r0 and t < 0.1 * t0_, (r, r0, t, t0_)
+        assert np.all(np.isfinite(X_sh))
+        # informational: virtual CPU devices share cores, so wall-clock parity
+        # (not speedup) is the expectation here; the win is per-device memory
+        # and comm volume independent of the observation count.
+        print(f"\n[scale-BA] 12 cams / {len(cam_a)} obs, 8 LM iters: "
+              f"single-device {t_single:.2f}s, 8-way sharded {t_shard:.2f}s")
     def test_matches_single_device(self, rng):
         builder = TestMultiViewBA()
         extr, extr_init, cam_a, cam_b, xa, xb, Xw = builder.make_problem(

@@ -165,6 +165,54 @@ class TestSuperPoint:
         assert out[0, 5, 5] == 1.0
         assert out[0, 5, 7] == 0.0
 
+    def test_simple_nms_separable_matches_dense(self):
+        """The separable max filter must reproduce the dense (size,size)
+        reduce_window NMS exactly (it is the upstream semantics)."""
+        rng = np.random.default_rng(3)
+        s = rng.uniform(size=(2, 48, 64)).astype(np.float32)
+        s[s < 0.7] = 0.0  # sparse-ish heatmap like post-softmax scores
+
+        def dense_nms(scores, radius, n_iters=2):
+            size = 2 * radius + 1
+            mp = lambda x: jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, size, size), (1, 1, 1), "SAME")
+            zeros = jnp.zeros_like(scores)
+            max_mask = scores == mp(scores)
+            for _ in range(n_iters):
+                supp = mp(max_mask.astype(scores.dtype)) > 0
+                ss = jnp.where(supp, zeros, scores)
+                new_max = ss == mp(ss)
+                max_mask = max_mask | (new_max & ~supp)
+            return jnp.where(max_mask, scores, zeros)
+
+        for radius in (2, 4):
+            np.testing.assert_array_equal(
+                np.asarray(simple_nms(jnp.asarray(s), radius)),
+                np.asarray(dense_nms(jnp.asarray(s), radius)),
+            )
+
+    def test_bf16_compute_dtype(self):
+        """bf16 trunk: params stay f32, outputs f32, keypoints near the f32
+        run's (scores differ only at bf16 resolution)."""
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(size=(1, 64, 64, 1)).astype(np.float32))
+        kp_rng = jax.random.PRNGKey(7)
+        cfg32 = SuperPointConfig(max_keypoints=32, fill_with_random_keypoints=False)
+        cfg16 = SuperPointConfig(max_keypoints=32, fill_with_random_keypoints=False,
+                                 compute_dtype="bfloat16")
+        m32, m16 = SuperPoint(cfg32), SuperPoint(cfg16)
+        v = m32.init({"params": jax.random.PRNGKey(0), "keypoints": kp_rng}, img)
+        assert all(l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(v))
+        o32 = m32.apply(v, img, rng=kp_rng)
+        o16 = m16.apply(v, img, rng=kp_rng)  # same f32 params
+        assert o16["descriptors"].dtype == jnp.float32
+        valid = np.asarray(o32["scores"][0]) > 0
+        # keypoint sets overlap strongly (ties may reorder at bf16 resolution)
+        k32 = {tuple(k) for k in np.asarray(o32["keypoints"][0])[valid].astype(int)}
+        k16 = {tuple(k) for k in np.asarray(o16["keypoints"][0]).astype(int)}
+        if valid.any():
+            assert len(k32 & k16) / max(len(k32), 1) > 0.8
+
 
 class TestMatcher:
     def _run(self, V, conf_mlp=False, full_output=True, train=False):

@@ -41,10 +41,25 @@ D = 256
 N_EVAL, MB = 24, 8
 key = jax.random.PRNGKey(0)
 
-def build_case(scene, rng):
-    decoy = SphereFieldScene(rng, n_views=2, H=H, W=W, f=F, baseline=0.9, rot_jitter=0.1)
+def build_case(scene, rng, n_decoy_poses=1):
+    """Decoy twins consistent with `n_decoy_poses` DIFFERENT wrong poses.
+
+    With one decoy pose, all 20 twins support a competing essential matrix:
+    the w8pt Gram gets a second near-null eigenvector, the solve is bistable
+    and the eigh gradient is noise (round-3 finding: score-w AUC ~0 and the
+    conf head random-walks). Several decoy poses (< 8 points each) defeat
+    score weighting without creating a rival null space, which is also the
+    realistic regime (real outliers are not all mutually consistent)."""
     pix0, pix1 = scene.correspondences(0, 1, N_TRUE, rng, margin=12)
-    dp0, dp1 = decoy.correspondences(0, 1, N_OUT, rng, margin=12)
+    dp0s, dp1s = [], []
+    per = -(-N_OUT // n_decoy_poses)
+    for _ in range(n_decoy_poses):
+        decoy = SphereFieldScene(rng, n_views=2, H=H, W=W, f=F, baseline=0.9,
+                                 rot_jitter=0.1)
+        d0, d1 = decoy.correspondences(0, 1, per, rng, margin=12)
+        dp0s.append(d0); dp1s.append(d1)
+    dp0 = np.concatenate(dp0s)[:N_OUT]
+    dp1 = np.concatenate(dp1s)[:N_OUT]
     n_vis, n_out = len(pix0), len(dp0)
     kpts = np.zeros((V, K, 2), np.float32)
     descs = np.zeros((V, K, D), np.float32)
@@ -85,9 +100,13 @@ def build_case(scene, rng):
             np.stack([scene.poses[0], scene.poses[1]]).astype(np.float32),
             out_mask0)
 
+N_DECOY = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+
+
 def build_set(n):
     cases = [build_case(SphereFieldScene(rng, n_views=V, H=H, W=W, f=F,
-             baseline=0.9, rot_jitter=0.1), rng) for _ in range(n)]
+             baseline=0.9, rot_jitter=0.1), rng, n_decoy_poses=N_DECOY)
+             for _ in range(n)]
     st = lambda i: jnp.asarray(np.stack([c[i] for c in cases]))
     return tuple(st(i) for i in range(9))
 
@@ -130,6 +149,10 @@ def diag(mdl, p, bs, label, with_conf=False):
         errs = np.where(np.asarray(info.valid), errs, np.inf)
         return [round(a*100,1) for a in pose_auc(errs, [5,10,20])]
     msg += f" | score-w AUC {auc_w(out['matching_scores0'][:,0])}"
+    # oracle conf (1 on true points, 0 on twins/fillers): the ceiling the conf
+    # head is asked to reach; if THIS is low the fixture itself is unsolvable
+    oracle = jnp.asarray((~outm) & true_lab, jnp.float32)
+    msg += f" oracle-w AUC {auc_w(oracle)}"
     if with_conf:
         msg += f" conf-w AUC {auc_w(out['conf_scores'][:,0])}"
         confn = np.asarray(out["conf_scores"][:,0])
@@ -137,10 +160,42 @@ def diag(mdl, p, bs, label, with_conf=False):
         msg += f" conf twins {confn[mm&outm].mean():.3f} true {confn[mm&true_lab].mean():.3f}"
     print(msg, flush=True)
 
+
+def grad_probe(label, mdl=None, p=None, bs=None):
+    """d(pose loss)/d(conf) at the CURRENT matches, oracle-split: a healthy
+    training signal must push twins' conf DOWN (positive grad wrt conf) and
+    true points' conf not-down relative to twins."""
+    mdl = mdl if mdl is not None else matcher
+    p = p if p is not None else params
+    bs = bs if bs is not None else bstats
+    out = mdl.apply({"params": p, "batch_stats": bs}, ev[1], ev[2], ev[0], e_size)
+    m0 = out["matches0"][:, 0]
+    gather = jnp.clip(m0, 0, K - 1)
+    k1 = jnp.take_along_axis(ev[1][:, 1], gather[..., None], axis=1)
+    target = jnp.asarray(ev[5])
+
+    def pose_loss_of_conf(conf):
+        conf = jnp.where(m0 >= 0, conf, 0.0)
+        T, _ = estimate_relative_pose_w8pt(ev[1][:, 0], k1, ev[6], ev[6], conf,
+                                           choose_closest=True, target_T021=target)
+        from e2e_multi_view_matching_tpu.geom.metrics import (
+            rotation_angle_error, translation_angle_error)
+        return rotation_angle_error(T, target) + translation_angle_error(T, target)
+
+    conf0 = jnp.full((N_EVAL, K), 0.5, jnp.float32)
+    g = np.asarray(jax.grad(pose_loss_of_conf)(conf0))
+    gt0 = np.asarray(ev[3][:, 0, :-1]); outm = np.asarray(ev[8])
+    mm = np.asarray(m0) >= 0
+    tl = (gt0 >= 0) & mm
+    tw = outm & mm
+    print(f"{label} grad-probe: mean d(loss)/d(conf) twins {g[tw].mean():+.2e} "
+          f"true {g[tl].mean():+.2e} (twin grad should be more positive); "
+          f"|g| finite frac {np.isfinite(g).mean():.3f}", flush=True)
+
 S1 = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
 S2 = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 CONF_LR = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
-print(f"config: S1={S1} S2={S2} conf_lr={CONF_LR}", flush=True)
+print(f"config: S1={S1} S2={S2} conf_lr={CONF_LR} n_decoy_poses={N_DECOY}", flush=True)
 t0 = time.time()
 for s in range(S1):
     b = build_set(MB)
@@ -148,6 +203,8 @@ for s in range(S1):
     if (s+1) % 250 == 0:
         print(f"s1 {s+1}: loss {float(l):.1f} ({time.time()-t0:.0f}s)", flush=True)
         diag(matcher, params, bstats, f"  s1@{s+1}")
+
+grad_probe("post-s1")
 
 matcher2 = MultiViewMatcher(MatcherConfig(gnn_layers=default_gnn_layers(3,1),
     sinkhorn_iterations=30, conf_mlp=True, match_threshold=0.0))
@@ -178,4 +235,8 @@ for s in range(S2):
     if (s+1) % 200 == 0:
         print(f"s2 {s+1}: total {float(l):.1f} rot {float(sc['rot_loss']):.3f}", flush=True)
         diag(matcher2, params2, bstats2, f"  s2@{s+1}", with_conf=True)
-print("done", flush=True)
+grad_probe("post-s2", matcher2, params2, bstats2)
+import pickle
+with open("/tmp/conf_gate_state.pkl", "wb") as f:
+    pickle.dump(jax.device_get({"params": params2, "batch_stats": bstats2}), f)
+print("done (state -> /tmp/conf_gate_state.pkl)", flush=True)
