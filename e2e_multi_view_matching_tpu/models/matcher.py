@@ -49,7 +49,8 @@ class MatcherConfig:
     num_heads: int = 4
     sinkhorn_iterations: int = 100
     sinkhorn_impl: str = "xla"  # "xla" (log-domain scan) | "mxu" (stabilized
-    # scaling-domain: matvec iterations on the MXU, ~5x faster at K=1024)
+    # scaling-domain: matvec iterations on the MXU; measured 1.10x vs xla at
+    # K=1024/100 iters on the v5e, dispatch-confounded -- BASELINE.md round 2)
     # | "pallas" (VMEM-resident TPU kernel)
     attention_impl: str = "xla"  # "xla" | "pallas" (fused masked attention,
     # 1.7x faster at the eval config; hardware outputs agree with XLA to ~4e-4

@@ -35,8 +35,17 @@ from e2e_multi_view_matching_tpu.train.checkpoint import _graft
 
 rng = np.random.default_rng(1)
 V, K, H, W, F = 2, 96, 192, 256, 260.0
-N_TRUE, N_OUT, MARKER = 40, 20, 32
-NOISE_PX, DESC_NOISE = 0.4, 0.3
+# Planted outliers across several decoy poses: the regime where the pose-loss
+# gradient actually separates twins from true points (tools/conf_signal_probe:
+# at the old 33%/1-decoy setting the solve is bistable and the gradient is
+# non-separating noise -- unlearnable). Low DESC_NOISE keeps stage-1 precision
+# ~0.99 so twins are the DOMINANT pose error and the conf-vs-score comparison
+# measures twin detection, the thing scores cannot do by construction.
+N_TRUE = int(sys.argv[5]) if len(sys.argv) > 5 else 48
+N_OUT = int(sys.argv[6]) if len(sys.argv) > 6 else 12
+DESC_NOISE = float(sys.argv[7]) if len(sys.argv) > 7 else 0.2
+MARKER = 32
+NOISE_PX = 0.4
 D = 256
 N_EVAL, MB = 24, 8
 key = jax.random.PRNGKey(0)
@@ -100,7 +109,7 @@ def build_case(scene, rng, n_decoy_poses=1):
             np.stack([scene.poses[0], scene.poses[1]]).astype(np.float32),
             out_mask0)
 
-N_DECOY = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+N_DECOY = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
 
 def build_set(n):
@@ -153,6 +162,9 @@ def diag(mdl, p, bs, label, with_conf=False):
     # head is asked to reach; if THIS is low the fixture itself is unsolvable
     oracle = jnp.asarray((~outm) & true_lab, jnp.float32)
     msg += f" oracle-w AUC {auc_w(oracle)}"
+    # oracle-correct (1 only on CORRECT matches): ceiling when conf also
+    # downweights matcher mismatches, the reference conf head's actual job
+    msg += f" oracle-corr AUC {auc_w(jnp.asarray((m0 == gt0) & (m0 >= 0), jnp.float32))}"
     if with_conf:
         msg += f" conf-w AUC {auc_w(out['conf_scores'][:,0])}"
         confn = np.asarray(out["conf_scores"][:,0])
@@ -228,7 +240,10 @@ def step2(params, bstats, opt_state, ratio, bk, bs_, bd, bgi, bgw, bintr, bposes
 
 for s in range(S2):
     b = build_set(MB)
-    ratio = 0.8 * min(1., s / max(1, S2 // 2))
+    # short warmup then constant 0.8: matching is already converged when the
+    # gate's stage 2 starts, so the long reference ramp only starves the conf
+    # head of pose-loss gradient
+    ratio = 0.8 * min(1., s / max(1, S2 // 10))
     bintr = jnp.tile(b[6][:,None], (1, V, 1, 1))
     params2, bstats2, opt2, l, sc = step2(params2, bstats2, opt2, ratio,
         b[1], b[2], b[0], b[3], b[4], bintr, b[7])

@@ -1,0 +1,104 @@
+"""Overhead-subtracted Sinkhorn implementation shootout on the chip
+(VERDICT r2 item 6): XLA log-domain scan vs MXU scaling-domain vs Pallas, at
+K in {1024, 2048}, B=10, 100 iterations, f32.
+
+Methodology: every timing ends in an on-device scalar reduction + 4-byte
+fetch; the tunnel's fixed dispatch overhead (trivial-kernel round trip) is
+measured and reported, and the table shows both raw and overhead-subtracted
+times. Amortization check: each config also runs with the op iterated 4x
+inside one jit (scan), quartering the dispatch share.
+
+Run: timeout 3600 python tools/sinkhorn_bench.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+if (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"
+    and os.environ.get("_EMVM_SKB_REEXEC") != "1"
+):
+    env = dict(os.environ, PALLAS_AXON_REMOTE_COMPILE="1", _EMVM_SKB_REEXEC="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from e2e_multi_view_matching_tpu.ops.sinkhorn import (  # noqa: E402
+    log_optimal_transport)
+from e2e_multi_view_matching_tpu.ops.sinkhorn_pallas import (  # noqa: E402
+    log_optimal_transport_pallas)
+
+B, ITERS = 10, 100
+
+
+def fetch_scalar(x):
+    return float(np.asarray(x))
+
+
+def timed(fn, *args, n=8):
+    red = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    red(*args)
+    fetch_scalar(red(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fetch_scalar(red(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+trivial = jax.jit(lambda x: x + 1.0)
+trivial(jnp.zeros((8, 8)))
+fetch_scalar(jnp.sum(trivial(jnp.zeros((8, 8)))))
+ts = []
+for _ in range(10):
+    t0 = time.perf_counter()
+    fetch_scalar(jnp.sum(trivial(jnp.zeros((8, 8)))))
+    ts.append(time.perf_counter() - t0)
+OVH = min(ts) * 1e3
+print(f"dispatch overhead: {OVH:.1f} ms", flush=True)
+
+key = jax.random.PRNGKey(0)
+alpha = jnp.asarray(1.0)
+
+for K in (1024, 2048):
+    scores = jax.random.normal(key, (B, K, K), jnp.float32)
+
+    impls = {
+        "xla": lambda s: log_optimal_transport(s, alpha, ITERS, impl="xla"),
+        "mxu": lambda s: log_optimal_transport(s, alpha, ITERS, impl="mxu"),
+        "pallas": lambda s: log_optimal_transport_pallas(s, alpha, ITERS),
+    }
+    base = {}
+    for name, f in impls.items():
+        try:
+            t1 = timed(f, scores)
+        except Exception as e:  # pallas may fail at K=2048 (VMEM)
+            print(f"K={K} {name:7s}: FAILED ({type(e).__name__}: {str(e)[:80]})",
+                  flush=True)
+            continue
+        # 4x inside one jit: dispatch amortized. The carry feeds the next
+        # input (tiny scalar) so XLA cannot hoist/CSE the loop body.
+        def rep4(s, f=f):
+            def body(c, _):
+                out = f(s + c * 1e-20)
+                return jnp.sum(out[..., 0, 0]), None
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=4)
+            return c
+        t4 = timed(rep4, scores, n=4)
+        base[name] = t1
+        print(f"K={K} {name:7s}: {t1:7.1f} ms raw | {t1 - OVH:7.1f} ms -ovh | "
+              f"4x-in-jit {t4 / 4:7.1f} ms/op", flush=True)
+    if "xla" in base:
+        for name in ("mxu", "pallas"):
+            if name in base:
+                sp = (base["xla"] - OVH) / max(base[name] - OVH, 1e-9)
+                print(f"K={K} {name} speedup vs xla (ovh-subtracted): {sp:.2f}x",
+                      flush=True)

@@ -87,9 +87,13 @@ t_full = timed("full forward", full, variables, img, flops=FL)
 trunk = jax.jit(lambda v, im: net.apply(v, im))
 t_trunk = timed("conv trunk f32", trunk, net_vars, img, flops=FL)
 
-bf_vars = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), net_vars)
-trunk_bf = jax.jit(lambda v, im: net.apply(v, im.astype(jnp.bfloat16)))
-t_trunk_bf = timed("conv trunk bf16", trunk_bf, bf_vars, img, flops=FL)
+net_bf = SuperPointNet(compute_dtype="bfloat16")
+trunk_bf = jax.jit(lambda v, im: net_bf.apply(v, im))
+t_trunk_bf = timed("conv trunk bf16 (f32 params)", trunk_bf, net_vars, img, flops=FL)
+
+sp_bf = SuperPoint(SuperPointConfig(max_keypoints=1024, compute_dtype="bfloat16"))
+full_bf = jax.jit(lambda v, im: sp_bf.apply(v, im, rng=jax.random.PRNGKey(3)))
+t_full_bf = timed("full forward bf16", full_bf, variables, img, flops=FL)
 
 heat, desc_map = jax.jit(lambda v, im: net.apply(v, im))(net_vars, img)
 heat = jax.block_until_ready(heat)
