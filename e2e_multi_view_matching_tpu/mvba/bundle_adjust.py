@@ -9,12 +9,20 @@ emits, `bundle_adjust_io.py:193-259`).
 
 TPU-first design: the point block of the Hessian is block-diagonal 3x3 (every
 point has exactly two observations), so the Schur complement reduces the system
-to 6(N-1) unknowns (24 for the 5-tuple benchmark). Assembly is batched einsums
-plus scatter-adds into (N, N, 6, 6) camera blocks -- no sparse matrices, no
+to 6(N-1) unknowns (24 for the 5-tuple benchmark). No sparse matrices, no
 Ceres, no process boundary. The reduced solve is eigenvalue-thresholded (the
 global scale gauge survives fixing camera 0: scaling every translation and
 point jointly is residual-invariant). Fixed shapes with weight masks; LM
 damping with best-iterate tracking as in `pose/two_view_ba.py`.
+
+Layout: the LM loop runs in structure-of-arrays form -- every per-point
+quantity is (small..., P) with the point axis LAST (TPU lanes). The naive
+(P, 2..6, 3..6) einsum formulation tiles each tiny trailing pair to (8, 128),
+which made the loop HBM-layout-bound at ~21 ms/LM-iteration for P=10240
+(tools/ba_bisect.py); in SoA form the same math is fully-packed VPU
+elementwise work plus a handful of genuine MXU matmuls: camera gather/scatter
+is expressed as (small, N) @ (N, P) / (small, P) @ (P, N*N) one-hot products
+instead of per-point gathers and scatter-adds.
 """
 
 from functools import partial
@@ -22,10 +30,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from e2e_multi_view_matching_tpu.geom.lie import hat, se3_exp
+from e2e_multi_view_matching_tpu.geom.lie import se3_exp
 from e2e_multi_view_matching_tpu.geom.linalg import (
     eig_thresholded_solve,
-    inv3x3,
     smallest_eigvec_ii,
 )
 
@@ -33,7 +40,8 @@ _Z_EPS = 1e-6
 
 
 def _proj_jac(T_c, X):
-    """Project world points through per-observation extrinsics.
+    """Project world points through per-observation extrinsics (AoS form; kept
+    for profiling tools/tests -- the LM loop uses the SoA path below).
 
     Args:
         T_c: (P, 4, 4) extrinsics gathered per observation; X: (P, 3).
@@ -53,6 +61,112 @@ def _proj_jac(T_c, X):
         ],
         axis=-2,
     )
+    return pi, Ap, J
+
+
+# -- SoA small-matrix helpers: operands are (m, k, P) with the point axis last;
+# every product is an unrolled sum of fully-packed (P,)-vector multiplies that
+# XLA fuses on the VPU (m, k, n <= 6).
+
+
+def _mm_soa(A, B):
+    """(m, k, P) @ (k, n, P) -> (m, n, P), elementwise over P."""
+    m, k = A.shape[0], A.shape[1]
+    n = B.shape[1]
+    return jnp.stack([
+        jnp.stack([
+            sum(A[i, q] * B[q, j] for q in range(k)) for j in range(n)
+        ], axis=0)
+        for i in range(m)
+    ], axis=0)
+
+
+def _mtm_soa(A, B):
+    """sum_r A[r, i] B[r, j]: (r, m, P), (r, n, P) -> (m, n, P)."""
+    r, m = A.shape[0], A.shape[1]
+    n = B.shape[1]
+    return jnp.stack([
+        jnp.stack([
+            sum(A[q, i] * B[q, j] for q in range(r)) for j in range(n)
+        ], axis=0)
+        for i in range(m)
+    ], axis=0)
+
+
+def _abT_soa(A, B):
+    """sum_k A[i, k] B[j, k]: (m, k, P), (n, k, P) -> (m, n, P)."""
+    m, k = A.shape[0], A.shape[1]
+    n = B.shape[0]
+    return jnp.stack([
+        jnp.stack([
+            sum(A[i, q] * B[j, q] for q in range(k)) for j in range(n)
+        ], axis=0)
+        for i in range(m)
+    ], axis=0)
+
+
+def _mv_soa(A, v):
+    """(m, k, P) @ (k, P) -> (m, P)."""
+    m, k = A.shape[0], A.shape[1]
+    return jnp.stack(
+        [sum(A[i, q] * v[q] for q in range(k)) for i in range(m)], axis=0
+    )
+
+
+def _mtv_soa(A, v):
+    """sum_r A[r, m] v[r]: (r, m, P), (r, P) -> (m, P)."""
+    r, m = A.shape[0], A.shape[1]
+    return jnp.stack(
+        [sum(A[q, i] * v[q] for q in range(r)) for i in range(m)], axis=0
+    )
+
+
+def _hat_soa(a):
+    """(3, P) -> (3, 3, P) skew-symmetric."""
+    z = jnp.zeros_like(a[0])
+    return jnp.stack([
+        jnp.stack([z, -a[2], a[1]], axis=0),
+        jnp.stack([a[2], z, -a[0]], axis=0),
+        jnp.stack([-a[1], a[0], z], axis=0),
+    ], axis=0)
+
+
+def _inv3x3_soa(H):
+    """Closed-form adjugate inverse of (3, 3, P) matrices."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f = H[1, 0], H[1, 1], H[1, 2]
+    g, h, i = H[2, 0], H[2, 1], H[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    sign = jnp.where(det >= 0, 1.0, -1.0)
+    inv_det = sign / jnp.maximum(jnp.abs(det), 1e-30)
+    return inv_det[None, None] * jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=0),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=0),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=0),
+    ], axis=0)
+
+
+def _proj_jac_soa(Rsel, tsel, Xt):
+    """SoA projection + jacobian.
+
+    Args:
+        Rsel: (3, 3, P) per-point rotation; tsel: (3, P); Xt: (3, P).
+    Returns:
+        (pi (2, P), Ap (3, P), J (2, 3, P)).
+    """
+    Ap = _mv_soa(Rsel, Xt) + tsel
+    z = Ap[2]
+    sign = jnp.where(z >= 0, 1.0, -1.0)
+    inv_z = 1.0 / (sign * jnp.maximum(jnp.abs(z), _Z_EPS))
+    pi = Ap[:2] * inv_z[None]
+    zeros = jnp.zeros_like(inv_z)
+    J = jnp.stack([
+        jnp.stack([inv_z, zeros, -Ap[0] * inv_z * inv_z], axis=0),
+        jnp.stack([zeros, inv_z, -Ap[1] * inv_z * inv_z], axis=0),
+    ], axis=0)
     return pi, Ap, J
 
 
@@ -113,87 +227,97 @@ def bundle_adjust_multi_view(
         (extr (N, 4, 4) best iterate, X (P, 3) final points).
     """
     N = extr_init.shape[0]
-    P = X_init.shape[0]
     dtype = extr_init.dtype
     wm = jnp.where(w > 0.0, w, 0.0)
     free = N - 1
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
 
-    def residual_system(extr, X):
-        Ta = extr[cam_a]
-        Tb = extr[cam_b]
-        pia, Apa, Ja = _proj_jac(Ta, X)
-        pib, Apb, Jb = _proj_jac(Tb, X)
-        ra = wm[:, None] * (pia - xa)  # (P, 2)
-        rb = wm[:, None] * (pib - xb)
-        Ra = Ta[:, :3, :3]
-        Rb = Tb[:, :3, :3]
-        Jpa = wm[:, None, None] * jnp.einsum("pij,pjl->pil", Ja, Ra)  # (P, 2, 3)
-        Jpb = wm[:, None, None] * jnp.einsum("pij,pjl->pil", Jb, Rb)
-        I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
-        Jca = wm[:, None, None] * jnp.einsum(
-            "pij,pjl->pil", Ja, jnp.concatenate([-hat(Apa), I3], axis=-1)
-        )  # (P, 2, 6)
-        Jcb = wm[:, None, None] * jnp.einsum(
-            "pij,pjl->pil", Jb, jnp.concatenate([-hat(Apb), I3], axis=-1)
-        )
-        # camera 0 is fixed: zero its Jacobian contributions
-        Jca = jnp.where((cam_a > 0)[:, None, None], Jca, 0.0)
-        Jcb = jnp.where((cam_b > 0)[:, None, None], Jcb, 0.0)
-        r_norm = jnp.sum(ra * ra) + jnp.sum(rb * rb)
-        return ra, rb, Jpa, Jpb, Jca, Jcb, r_norm
+    # SoA layout: per-point arrays are (small..., P) -- see module docstring.
+    xa_t = xa.T  # (2, P)
+    xb_t = xb.T
+    mask_a = (cam_a > 0).astype(dtype)  # camera 0 fixed
+    mask_b = (cam_b > 0).astype(dtype)
 
-    # one-hot camera assignments: Hessian assembly becomes MXU matmuls over the
-    # observation axis instead of serialized scatter-adds (N is tiny & static)
+    # one-hot camera assignments: camera gather/scatter becomes MXU matmuls
     oh_a = jax.nn.one_hot(cam_a, N, dtype=dtype)  # (P, N)
     oh_b = jax.nn.one_hot(cam_b, N, dtype=dtype)
-    oh_aa = (oh_a[:, :, None] * oh_a[:, None, :]).reshape(-1, N * N)  # (P, N*N)
+    ohT_a = oh_a.T  # (N, P)
+    ohT_b = oh_b.T
+    oh_aa = (oh_a[:, :, None] * oh_a[:, None, :]).reshape(-1, N * N)  # (P, N^2)
     oh_ab = (oh_a[:, :, None] * oh_b[:, None, :]).reshape(-1, N * N)
     oh_ba = (oh_b[:, :, None] * oh_a[:, None, :]).reshape(-1, N * N)
     oh_bb = (oh_b[:, :, None] * oh_b[:, None, :]).reshape(-1, N * N)
 
-    def lm_step(extr, X, damp):
-        ra, rb, Jpa, Jpb, Jca, Jcb, r_norm = residual_system(extr, X)
-        # per-camera diagonal blocks and gradients
-        Hcc = jnp.einsum("pn,pri,prj->nij", oh_a, Jca, Jca) + jnp.einsum(
-            "pn,pri,prj->nij", oh_b, Jcb, Jcb
-        )
-        bc = -jnp.einsum("pn,pri,pr->ni", oh_a, Jca, ra) - jnp.einsum(
-            "pn,pri,pr->ni", oh_b, Jcb, rb
-        )
-        # point blocks
-        Hpp = jnp.einsum("pri,prj->pij", Jpa, Jpa) + jnp.einsum(
-            "pri,prj->pij", Jpb, Jpb
-        )  # (P, 3, 3)
-        bp = -(jnp.einsum("pri,pr->pi", Jpa, ra) + jnp.einsum("pri,pr->pi", Jpb, rb))
-        Hcpa = jnp.einsum("pri,prj->pij", Jca, Jpa)  # (P, 6, 3)
-        Hcpb = jnp.einsum("pri,prj->pij", Jcb, Jpb)
+    def select_cam(extr, ohT):
+        """Per-point camera rotation/translation via (9|3, N) @ (N, P)."""
+        Rl = extr[:, :3, :3].reshape(N, 9).T  # (9, N)
+        tl = extr[:, :3, 3].T  # (3, N)
+        Rsel = (Rl @ ohT).reshape(3, 3, -1)
+        tsel = tl @ ohT
+        return Rsel, tsel
 
-        eye3 = jnp.eye(3, dtype=dtype)
-        eye6 = jnp.eye(6, dtype=dtype)
-        Hpp_d = Hpp + damp * (
-            eye3 * jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-8)[..., None, :]
-        )
-        Hcc_d = Hcc + damp * (
-            eye6 * jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-8)[..., None, :]
-        )
+    def side_system(extr, Xt, ohT, x_t, mask):
+        """One observation side: residual (2, P), Jp (2, 3, P), Jc (2, 6, P)."""
+        Rsel, tsel = select_cam(extr, ohT)
+        pi, Ap, J = _proj_jac_soa(Rsel, tsel, Xt)
+        r = wm[None] * (pi - x_t)
+        Jp = wm[None, None] * _mm_soa(J, Rsel)
+        M = jnp.concatenate(
+            [-_hat_soa(Ap),
+             jnp.broadcast_to(eye3[..., None], (3, 3, Ap.shape[-1]))],
+            axis=1,
+        )  # (3, 6, P)
+        Jc = (wm * mask)[None, None] * _mm_soa(J, M)
+        return r, Jp, Jc
+
+    def residual_system(extr, Xt):
+        ra, Jpa, Jca = side_system(extr, Xt, ohT_a, xa_t, mask_a)
+        rb, Jpb, Jcb = side_system(extr, Xt, ohT_b, xb_t, mask_b)
+        r_norm = jnp.sum(ra * ra) + jnp.sum(rb * rb)
+        return ra, rb, Jpa, Jpb, Jca, Jcb, r_norm
+
+    def reduce_cams(flatP, oh):
+        """(u, P) @ (P, n) -> (n, u): per-camera sums of per-point blocks."""
+        return (flatP @ oh).T
+
+    def lm_step(extr, Xt, damp):
+        ra, rb, Jpa, Jpb, Jca, Jcb, r_norm = residual_system(extr, Xt)
+        Pn = ra.shape[-1]
+        # per-camera diagonal blocks and gradients: (36|6, P) @ (P, N)
+        Hcc = (
+            reduce_cams(_mtm_soa(Jca, Jca).reshape(36, Pn), oh_a)
+            + reduce_cams(_mtm_soa(Jcb, Jcb).reshape(36, Pn), oh_b)
+        ).reshape(N, 6, 6)
+        bc = -(
+            reduce_cams(_mtv_soa(Jca, ra), oh_a)
+            + reduce_cams(_mtv_soa(Jcb, rb), oh_b)
+        )  # (N, 6)
+        # point blocks (all SoA)
+        Hpp = _mtm_soa(Jpa, Jpa) + _mtm_soa(Jpb, Jpb)  # (3, 3, P)
+        bp = -(_mtv_soa(Jpa, ra) + _mtv_soa(Jpb, rb))  # (3, P)
+        Hcpa = _mtm_soa(Jca, Jpa)  # (6, 3, P)
+        Hcpb = _mtm_soa(Jcb, Jpb)
         # 3x3 point inverses: closed-form adjugate (no XLA eigh inside the LM
         # loop). Disabled points have Hpp_d ~ damp*1e-8*I, whose large-but-
         # finite inverse only ever multiplies their zero Hcp/bp blocks.
-        Hpp_inv = inv3x3(Hpp_d)
-
-        Ya = jnp.einsum("pij,pjl->pil", Hcpa, Hpp_inv)  # (P, 6, 3)
-        Yb = jnp.einsum("pij,pjl->pil", Hcpb, Hpp_inv)
-        # Schur blocks: S[c1, c2] -= Y_{c1} Hcp_{c2}^T for the cameras of each
-        # point -- assembled with one-hot matmuls over the observation axis
+        dpp = jnp.maximum(jnp.stack([Hpp[0, 0], Hpp[1, 1], Hpp[2, 2]]), 1e-8)
+        Hpp_d = Hpp + damp * eye3[..., None] * dpp[None]
+        Hpp_inv = _inv3x3_soa(Hpp_d)
+        Ya = _mm_soa(Hcpa, Hpp_inv)  # (6, 3, P)
+        Yb = _mm_soa(Hcpb, Hpp_inv)
+        # Schur blocks: S[c1, c2] -= Y_{c1} Hcp_{c2}^T, scattered to camera
+        # pairs with (36, P) @ (P, N^2) one-hot matmuls
         corr = -(
-            jnp.einsum("pm,pil,pjl->mij", oh_aa, Ya, Hcpa)
-            + jnp.einsum("pm,pil,pjl->mij", oh_ab, Ya, Hcpb)
-            + jnp.einsum("pm,pil,pjl->mij", oh_ba, Yb, Hcpa)
-            + jnp.einsum("pm,pil,pjl->mij", oh_bb, Yb, Hcpb)
+            reduce_cams(_abT_soa(Ya, Hcpa).reshape(36, Pn), oh_aa)
+            + reduce_cams(_abT_soa(Ya, Hcpb).reshape(36, Pn), oh_ab)
+            + reduce_cams(_abT_soa(Yb, Hcpa).reshape(36, Pn), oh_ba)
+            + reduce_cams(_abT_soa(Yb, Hcpb).reshape(36, Pn), oh_bb)
         ).reshape(N, N, 6, 6)
-        rhs_corr = -jnp.einsum("pn,pij,pj->ni", oh_a, Ya, bp) - jnp.einsum(
-            "pn,pij,pj->ni", oh_b, Yb, bp
-        )
+        rhs_corr = -(
+            reduce_cams(_mv_soa(Ya, bp), oh_a)
+            + reduce_cams(_mv_soa(Yb, bp), oh_b)
+        )  # (N, 6)
         if axis_name is not None:
             # all-reduce the reduced camera system over the observation shards
             Hcc = jax.lax.psum(Hcc, axis_name)
@@ -201,12 +325,11 @@ def bundle_adjust_multi_view(
             corr = jax.lax.psum(corr, axis_name)
             rhs_corr = jax.lax.psum(rhs_corr, axis_name)
             r_norm = jax.lax.psum(r_norm, axis_name)
-            # re-apply damping on the GLOBAL Hcc (local damping would differ)
-            Hcc_d = Hcc + damp * (
-                eye6 * jnp.maximum(
-                    jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-8
-                )[..., None, :]
-            )
+        Hcc_d = Hcc + damp * (
+            eye6 * jnp.maximum(
+                jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-8
+            )[..., None, :]
+        )
         Sblocks = corr.at[jnp.arange(N), jnp.arange(N)].add(Hcc_d)
         rhs_c = bc + rhs_corr
 
@@ -219,49 +342,53 @@ def bundle_adjust_multi_view(
             [jnp.zeros((1, 6), dtype), delta_c.reshape(free, 6)], axis=0
         )  # (N, 6)
         # back-substitute points: Hcp^T delta_c summed over the two cameras
-        HcpTdc = jnp.einsum("plj,pl->pj", Hcpa, delta_c[cam_a]) + jnp.einsum(
-            "plj,pl->pj", Hcpb, delta_c[cam_b]
-        )
-        delta_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - HcpTdc)
+        d_sel_a = delta_c.T @ ohT_a  # (6, P)
+        d_sel_b = delta_c.T @ ohT_b
+        HcpTdc = _mtv_soa(Hcpa, d_sel_a) + _mtv_soa(Hcpb, d_sel_b)  # (3, P)
+        delta_p = _mv_soa(Hpp_inv, bp - HcpTdc)  # (3, P)
         ok = jnp.all(jnp.isfinite(delta_c)) & jnp.all(jnp.isfinite(delta_p))
         if axis_name is not None:
             ok = jax.lax.psum(1 - ok.astype(jnp.int32), axis_name) == 0
         return delta_c, delta_p, r_norm, ok
 
-    def normalize_gauge(extr, X, scale_ref):
+    def normalize_gauge(extr, Xt, scale_ref):
         t_norm = jnp.mean(jnp.linalg.norm(extr[1:, :3, 3], axis=-1))
         s = jnp.where(t_norm > 1e-9, scale_ref / jnp.maximum(t_norm, 1e-9), 1.0)
         extr = extr.at[:, :3, 3].multiply(s)
-        return extr, X * s, s
+        return extr, Xt * s, s
 
     scale_ref = jnp.mean(jnp.linalg.norm(extr_init[1:, :3, 3], axis=-1))
+    Xt_init = X_init.T  # (3, P)
 
     def body(i, carry):
-        extr, X, damp, best_extr, best_X, best_r = carry
+        extr, Xt, damp, best_extr, best_Xt, best_r = carry
         if retriangulate:
-            X = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb)
-        delta_c, delta_p, r_norm, ok = lm_step(extr, X, damp)
+            Xt = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb).T
+        delta_c, delta_p, r_norm, ok = lm_step(extr, Xt, damp)
         improved = r_norm < best_r
         best_extr = jnp.where(improved, extr, best_extr)
-        best_X = jnp.where(improved, X, best_X)
+        best_Xt = jnp.where(improved, Xt, best_Xt)
         best_r = jnp.minimum(r_norm, best_r)
         damp = jnp.where(improved, damp / lm_decrease, damp * lm_increase)
         extr_new = jnp.where(ok, se3_exp(delta_c) @ extr, extr)
-        X_new = jnp.where(ok, X + delta_p, X)
-        extr_new, X_new, _ = normalize_gauge(extr_new, X_new, scale_ref)
-        return (extr_new, X_new, damp, best_extr, best_X, best_r)
+        Xt_new = jnp.where(ok, Xt + delta_p, Xt)
+        extr_new, Xt_new, _ = normalize_gauge(extr_new, Xt_new, scale_ref)
+        return (extr_new, Xt_new, damp, best_extr, best_Xt, best_r)
 
     damp0 = jnp.asarray(lm_init, dtype)
-    carry = (extr_init, X_init, damp0, extr_init, X_init, jnp.asarray(jnp.inf, dtype))
-    extr, X, damp, best_extr, best_X, best_r = jax.lax.fori_loop(
+    carry = (
+        extr_init, Xt_init, damp0, extr_init, Xt_init,
+        jnp.asarray(jnp.inf, dtype),
+    )
+    extr, Xt, damp, best_extr, best_Xt, best_r = jax.lax.fori_loop(
         0, n_iterations, body, carry
     )
     if retriangulate:
-        X = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb)
-    r_final = residual_system(extr, X)[6]
+        Xt = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb).T
+    r_final = residual_system(extr, Xt)[6]
     if axis_name is not None:
         r_final = jax.lax.psum(r_final, axis_name)
     improved = r_final < best_r
     best_extr = jnp.where(improved, extr, best_extr)
-    best_X = jnp.where(improved, X, best_X)
-    return best_extr, best_X
+    best_Xt = jnp.where(improved, Xt, best_Xt)
+    return best_extr, best_Xt.T
