@@ -166,6 +166,7 @@ def main(argv=None):
         gnn_layers=default_gnn_layers(opt.gnn_layers, opt.cross_attention_layers),
         sinkhorn_iterations=opt.sinkhorn_iterations,
         conf_mlp=True, multi_frame_matching=True,
+        attention_impl=opt.attention_impl, sinkhorn_impl=opt.sinkhorn_impl,
     ))
 
     key = jax.random.PRNGKey(0)

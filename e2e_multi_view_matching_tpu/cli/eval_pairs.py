@@ -245,6 +245,7 @@ def main(argv=None):
     matcher = MultiViewMatcher(MatcherConfig(
         gnn_layers=default_gnn_layers(9, 1), sinkhorn_iterations=opt.sinkhorn_iterations,
         conf_mlp=True, multi_frame_matching=False,
+        attention_impl=opt.attention_impl, sinkhorn_impl=opt.sinkhorn_impl,
     ))
     key = jax.random.PRNGKey(0)
     m_vars = matcher.init(

@@ -104,6 +104,7 @@ def build_models(opt):
         sinkhorn_iterations=opt.sinkhorn_iterations,
         conf_mlp=bool(opt.pose_loss),
         multi_frame_matching=opt.tuple_size > 2,
+        attention_impl=opt.attention_impl, sinkhorn_impl=opt.sinkhorn_impl,
     ))
     return superpoint, matcher
 

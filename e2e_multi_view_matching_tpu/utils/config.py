@@ -16,6 +16,16 @@ def add_generic_arguments(parser):
     parser.add_argument("--dataset", type=str, default="scannet", help="dataset")
     parser.add_argument("--tuple_size", type=int, default=5,
                         help="number of images to be matched")
+    # TPU kernel selection (no reference analog): "xla" keeps the compiler
+    # paths; "pallas" attention / "mxu" Sinkhorn are the measured-faster
+    # hand kernels (BASELINE.md), opt-in because they trade bitwise XLA
+    # agreement (~4e-4 attention, ~1e-5 Sinkhorn) for speed.
+    parser.add_argument("--attention_impl", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="matcher attention kernel (pallas = fused masked)")
+    parser.add_argument("--sinkhorn_impl", type=str, default="xla",
+                        choices=["xla", "mxu", "pallas"],
+                        help="Sinkhorn kernel (mxu = scaling-domain matvecs)")
     return parser
 
 

@@ -207,14 +207,25 @@ def grad_probe(label, mdl=None, p=None, bs=None):
 S1 = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
 S2 = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 CONF_LR = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
+S1_STATE = os.environ.get("CONF_GATE_S1_STATE", "/tmp/conf_gate_s1.pkl")
 print(f"config: S1={S1} S2={S2} conf_lr={CONF_LR} n_decoy_poses={N_DECOY}", flush=True)
 t0 = time.time()
-for s in range(S1):
-    b = build_set(MB)
-    params, bstats, opt_state, l = step1(params, bstats, opt_state, b[1], b[2], b[0], b[3], b[4])
-    if (s+1) % 250 == 0:
-        print(f"s1 {s+1}: loss {float(l):.1f} ({time.time()-t0:.0f}s)", flush=True)
-        diag(matcher, params, bstats, f"  s1@{s+1}")
+import pickle
+if os.environ.get("CONF_GATE_RESUME_S1") == "1" and os.path.exists(S1_STATE):
+    with open(S1_STATE, "rb") as f:
+        st = pickle.load(f)
+    params, bstats = st["params"], st["batch_stats"]
+    print(f"resumed stage-1 state from {S1_STATE}", flush=True)
+    diag(matcher, params, bstats, "  s1(resumed)")
+else:
+    for s in range(S1):
+        b = build_set(MB)
+        params, bstats, opt_state, l = step1(params, bstats, opt_state, b[1], b[2], b[0], b[3], b[4])
+        if (s+1) % 250 == 0:
+            print(f"s1 {s+1}: loss {float(l):.1f} ({time.time()-t0:.0f}s)", flush=True)
+            diag(matcher, params, bstats, f"  s1@{s+1}")
+    with open(S1_STATE, "wb") as f:
+        pickle.dump(jax.device_get({"params": params, "batch_stats": bstats}), f)
 
 grad_probe("post-s1")
 
@@ -248,10 +259,14 @@ for s in range(S2):
     params2, bstats2, opt2, l, sc = step2(params2, bstats2, opt2, ratio,
         b[1], b[2], b[0], b[3], b[4], bintr, b[7])
     if (s+1) % 200 == 0:
-        print(f"s2 {s+1}: total {float(l):.1f} rot {float(sc['rot_loss']):.3f}", flush=True)
+        try:
+            skipped = int(opt2.skipped)
+        except Exception:
+            skipped = -1
+        print(f"s2 {s+1}: total {float(l):.1f} rot {float(sc['rot_loss']):.3f} "
+              f"skipped {skipped}", flush=True)
         diag(matcher2, params2, bstats2, f"  s2@{s+1}", with_conf=True)
 grad_probe("post-s2", matcher2, params2, bstats2)
-import pickle
 with open("/tmp/conf_gate_state.pkl", "wb") as f:
     pickle.dump(jax.device_get({"params": params2, "batch_stats": bstats2}), f)
 print("done (state -> /tmp/conf_gate_state.pkl)", flush=True)
