@@ -10,13 +10,20 @@ gate asserts). This harness plants twins consistent with a DECOY pose
 confidence can separate them -- the conf MLP's raison d'etre
 (reference: docs/index.html:173, conf weighting in bundle_adjust_io.py:82).
 
-Status at round-2 end: stage 1 converges (prec 0.93); stage 2 at the
-reference's 1e-5 LR leaves the freshly-grafted conf head unseparated after
-200 steps (conf twins 0.461 vs true 0.464). Next: longer stage 2 and/or
-hotter conf-head LR (a 1e-4 variant was queued when the round ended), then
-port the decoy-pose build_case into synthetic_e2e.py's conf-gate phase.
+Round-3 status: PASSING (tools/conf_gate_result.json). Two fixes landed it:
+(1) mean-offset descriptor marker -- the old variance marker (*=2.5) is a
+quadratic feature linear probes read at chance (tools/conf_feature_probe.py:
+raw AUC 0.49, post-GNN 0.67), so the head random-walked; (2) hotter conf-head
+LR (1e-3 vs the reference stage-2 1e-5, which is tuned for fine-tuning a
+CONVERGED head, not training a fresh graft). With both: stage-1 prec 1.00,
+twin_matched 0.95; stage-2 collapses twin conf to ~0.00 vs true ~0.52 by
+s2@800 and conf-weighted AUC@5/10/20 reaches 38.8/58.7/73.1 vs score-weighted
+0/0/0 (oracle ceiling 48/68/84). tools/conf_descent_probe.py independently
+shows the pose-loss landscape alone separates twins (direct descent on conf
+values: ratio 0.41, conf-w AUC@20 77.5 at the 77.1 oracle ceiling).
 
-Usage: PYTHONPATH=. JAX_PLATFORMS=cpu python tools/conf_gate_debug.py [S1] [S2]
+Usage: PYTHONPATH=. JAX_PLATFORMS=cpu python tools/conf_gate_debug.py [S1] [S2] [conf_lr]
+Passing run: PYTHONPATH=. JAX_PLATFORMS=cpu python tools/conf_gate_debug.py 1500 2000 1e-3
 """
 import os, sys, time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -47,7 +54,9 @@ DESC_NOISE = float(sys.argv[7]) if len(sys.argv) > 7 else 0.2
 MARKER = 32
 NOISE_PX = 0.4
 D = 256
-N_EVAL, MB = 24, 8
+N_EVAL = 24
+MB = int(os.environ.get("CONF_GATE_MB", "8"))
+RATIO_CAP = float(os.environ.get("CONF_GATE_RATIO", "0.8"))
 key = jax.random.PRNGKey(0)
 
 def build_case(scene, rng, n_decoy_poses=1):
@@ -88,7 +97,15 @@ def build_case(scene, rng, n_decoy_poses=1):
     kpts[0, s0o] = dp0 + rng.normal(size=dp0.shape) * NOISE_PX
     kpts[1, s1o] = dp1 + rng.normal(size=dp1.shape) * NOISE_PX
     bo = rng.normal(size=(n_out, D)).astype(np.float32)
-    bo[:, -MARKER:] *= 2.5
+    # Mean-offset marker: a shared positive bias in the marker channels.
+    # A pure variance marker (the old *=2.5 scaling) is a QUADRATIC feature:
+    # linear probes on raw descriptors read AUC 0.49 (chance) and the GNN
+    # carries it to the conf head at only 0.67 (tools/conf_feature_probe.py),
+    # so head training random-walks. Real systematic outlier populations
+    # (repeating texture, reflections) share directional signatures; the
+    # offset keeps twins mutually similar (they still match: Sinkhorn runs on
+    # descriptor similarity) while making twin-vs-true linearly readable.
+    bo[:, -MARKER:] = bo[:, -MARKER:] * 0.5 + 1.2
     descs[0, s0o] = bo + rng.normal(size=(n_out, D)) * 0.1
     descs[1, s1o] = bo + rng.normal(size=(n_out, D)) * 0.1
     out_mask0[s0o] = True
@@ -254,7 +271,7 @@ for s in range(S2):
     # short warmup then constant 0.8: matching is already converged when the
     # gate's stage 2 starts, so the long reference ramp only starves the conf
     # head of pose-loss gradient
-    ratio = 0.8 * min(1., s / max(1, S2 // 10))
+    ratio = RATIO_CAP * min(1., s / max(1, S2 // 10))
     bintr = jnp.tile(b[6][:,None], (1, V, 1, 1))
     params2, bstats2, opt2, l, sc = step2(params2, bstats2, opt2, ratio,
         b[1], b[2], b[0], b[3], b[4], bintr, b[7])

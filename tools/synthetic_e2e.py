@@ -535,14 +535,18 @@ def main():
     if args.conf_steps1 > 0:
         # ---- conf-MLP gate: the head must WIN on deceptive outliers ---------
         # Fixture where Sinkhorn matching scores are provably insufficient as
-        # pose weights: besides true correspondences (extra-noisy descriptors),
-        # each case plants N_OUT "deceptive twins" -- descriptor pairs nearly
+        # pose weights (design validated in tools/conf_gate_debug.py; passing
+        # run in tools/conf_gate_result.json): besides true correspondences,
+        # each case plants N_OUT "decoy twins" -- descriptor pairs nearly
         # identical across views (so the matcher confidently matches them)
-        # whose POSITIONS are independent random draws (geometrically
-        # inconsistent). Their descriptors carry a distributional marker
-        # (boosted energy in the last 32 dims) that similarity scores cannot
-        # express -- similarity is high regardless -- but the conf MLP can
-        # read from the descriptor content. Match-loss weights for twin slots
+        # whose positions follow several DECOY POSES (wrong relative
+        # transforms, <8 points each, so no rival null space forms in the
+        # w8pt Gram). Decoy-consistent positions survive matching (~0.95
+        # matched) yet poison the score-weighted solve. The twins carry a
+        # MEAN-OFFSET marker in the last 32 descriptor dims -- linearly
+        # readable by the conf head (a variance marker is quadratic: linear
+        # probes read it at chance, tools/conf_feature_probe.py) while
+        # keeping twins mutually similar. Match-loss weights for twin slots
         # are 0 (the reference's dropped "uncertain" labels, helpers.py:173-192),
         # so the ONLY gradient signal about them is the pose loss through the
         # weighted eight-point solve: exactly the mechanism the reference's
@@ -556,12 +560,23 @@ def main():
             estimate_relative_pose_w8pt,
         )
 
-        N_TRUE, N_OUT = 40, 24
+        N_TRUE, N_OUT, N_DECOY = 48, 12, 3
         MARKER = 32  # marker dims at the tail of the descriptor
 
         def build_case_outliers(scene, rng):
             pix0, pix1 = scene.correspondences(0, 1, N_TRUE, rng, margin=12)
-            n_vis = len(pix0)
+            # decoy twins: correspondences of N_DECOY wrong relative poses
+            dp0s, dp1s = [], []
+            per = -(-N_OUT // N_DECOY)
+            for _ in range(N_DECOY):
+                decoy = SphereFieldScene(rng, n_views=2, H=H, W=W, f=F,
+                                         baseline=0.9, rot_jitter=0.1)
+                d0, d1 = decoy.correspondences(0, 1, per, rng, margin=12)
+                dp0s.append(d0)
+                dp1s.append(d1)
+            dp0 = np.concatenate(dp0s)[:N_OUT]
+            dp1 = np.concatenate(dp1s)[:N_OUT]
+            n_vis, n_out = len(pix0), len(dp0)
             kpts = np.zeros((V, K, 2), np.float32)
             descs = np.zeros((V, K, D), np.float32)
             gt = np.full((2, K + 1), -1, np.int64)
@@ -569,25 +584,25 @@ def main():
             perm0 = rng.permutation(K)
             perm1 = rng.permutation(K)
             s_true0, s_true1 = perm0[:n_vis], perm1[:n_vis]
-            s_out0 = perm0[n_vis:n_vis + N_OUT]
-            s_out1 = perm1[n_vis:n_vis + N_OUT]
-            rest0, rest1 = perm0[n_vis + N_OUT:], perm1[n_vis + N_OUT:]
-            # true correspondences: noisy positions + extra-noisy descriptors
+            s_out0 = perm0[n_vis:n_vis + n_out]
+            s_out1 = perm1[n_vis:n_vis + n_out]
+            rest0, rest1 = perm0[n_vis + n_out:], perm1[n_vis + n_out:]
+            # true correspondences: noisy positions + noisy descriptors
             kpts[0, s_true0] = pix0 + rng.normal(size=pix0.shape) * NOISE_PX
             kpts[1, s_true1] = pix1 + rng.normal(size=pix1.shape) * NOISE_PX
             base = rng.normal(size=(n_vis, D)).astype(np.float32)
-            descs[0, s_true0] = base + rng.normal(size=(n_vis, D)) * 0.35
-            descs[1, s_true1] = base + rng.normal(size=(n_vis, D)) * 0.35
+            descs[0, s_true0] = base + rng.normal(size=(n_vis, D)) * 0.2
+            descs[1, s_true1] = base + rng.normal(size=(n_vis, D)) * 0.2
             gt[0, s_true0] = s_true1
             gt[1, s_true1] = s_true0
-            # deceptive twins: near-identical descriptors (with marker),
-            # independent random positions in each view
-            base_o = rng.normal(size=(N_OUT, D)).astype(np.float32)
-            base_o[:, -MARKER:] *= 2.5  # the learnable marker
-            descs[0, s_out0] = base_o + rng.normal(size=(N_OUT, D)) * 0.1
-            descs[1, s_out1] = base_o + rng.normal(size=(N_OUT, D)) * 0.1
-            kpts[0, s_out0] = rng.uniform([12, 12], [W - 12, H - 12], (N_OUT, 2))
-            kpts[1, s_out1] = rng.uniform([12, 12], [W - 12, H - 12], (N_OUT, 2))
+            # twins: near-identical descriptors with a mean-offset marker,
+            # positions consistent with the decoy poses
+            base_o = rng.normal(size=(n_out, D)).astype(np.float32)
+            base_o[:, -MARKER:] = base_o[:, -MARKER:] * 0.5 + 1.2
+            descs[0, s_out0] = base_o + rng.normal(size=(n_out, D)) * 0.1
+            descs[1, s_out1] = base_o + rng.normal(size=(n_out, D)) * 0.1
+            kpts[0, s_out0] = dp0 + rng.normal(size=dp0.shape) * NOISE_PX
+            kpts[1, s_out1] = dp1 + rng.normal(size=dp1.shape) * NOISE_PX
             out_mask0[s_out0] = True
             # plain distractors
             kpts[0, rest0] = rng.uniform([10, 10], [W - 10, H - 10], (len(rest0), 2))
@@ -651,7 +666,12 @@ def main():
         print(f"conf-gate stage 2: grafted ({len(missing)} fresh leaves)",
               flush=True)
         ROT_W2, TRANS_W2 = 1597.0, 270.0  # scannet 2-tuple (`train.py:218`)
-        tx_cg = build_optimizer(1e-5, 1.0, 0, 0, pose_loss=True)
+        # hotter conf-head LR than the reference stage-2 1e-5: that LR is
+        # tuned for fine-tuning a converged head; here the head is a fresh
+        # graft and must be trained from scratch (conf_gate_result.json:
+        # 1e-5 random-walks, 1e-3 separates twins within 800 steps)
+        tx_cg = build_optimizer(1e-5, 1.0, 0, 0, pose_loss=True,
+                                conf_mlp_lr=1e-3)
         opt_cg2 = tx_cg.init(params_cg2)
 
         @jax.jit
@@ -676,7 +696,9 @@ def main():
         t0 = time.time()
         for step in range(args.conf_steps2):
             b = build_conf_set(MB)
-            ratio = 0.8 * min(1.0, step / max(1, args.conf_steps2 // 2))
+            # short warmup then constant 0.8: matching is converged when
+            # stage 2 starts; a long ramp starves the conf head of gradient
+            ratio = 0.8 * min(1.0, step / max(1, args.conf_steps2 // 10))
             bintr = jnp.tile(b[6][:, None], (1, V, 1, 1))
             params_cg2, bstats_cg2, opt_cg2, l, scaled = train_step_cg(
                 params_cg2, bstats_cg2, opt_cg2, ratio, b[1], b[2], b[0],
