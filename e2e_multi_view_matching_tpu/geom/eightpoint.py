@@ -20,12 +20,11 @@ import jax.numpy as jnp
 
 from e2e_multi_view_matching_tpu.geom.epipolar import (
     cheirality_scores,
-    depth_from_point,
     hartley_normalize,
     motion_from_essential,
     normalize_keypoints,
     sym_epipolar_distance,
-    triangulate_points,
+    two_ray_depths,
 )
 from e2e_multi_view_matching_tpu.geom.lie import make_transform
 from e2e_multi_view_matching_tpu.geom.linalg import smallest_eigvec_ii, weighted_nullvec
@@ -142,15 +141,10 @@ def estimate_relative_pose_w8pt(
     t = take(ts, best[..., None, None], axis=-2)[..., 0, :]
     T021 = make_transform(R, t)
 
-    # Positive-depth mask via triangulation (`estimate_relative_pose.py:113-118`).
-    eyeP = jnp.concatenate(
-        [jnp.eye(3, dtype=x0.dtype), jnp.zeros((3, 1), dtype=x0.dtype)], axis=-1
-    )
-    P0 = jnp.broadcast_to(eyeP, R.shape[:-2] + (3, 4))
-    P1 = jnp.concatenate([R, t[..., None]], axis=-1)
-    pts3d = triangulate_points(P0, P1, x0, x1)
-    depth0 = pts3d[..., 2]
-    depth1 = depth_from_point(R, t, pts3d)
+    # Positive-depth mask (`estimate_relative_pose.py:113-118` triangulates;
+    # the closed-form ray depths are sign-equivalent and skip the per-point
+    # DLT chain -- see `two_ray_depths`).
+    depth0, depth1 = two_ray_depths(R, t, x0, x1)
     pos_depth = jnp.logical_and(depth0 > 0.0, depth1 > 0.0)
 
     inliers = None

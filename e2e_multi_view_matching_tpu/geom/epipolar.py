@@ -120,6 +120,57 @@ def triangulate_points(P0, P1, x0, x1):
     return h[..., :3] / denom[..., None]
 
 
+def two_ray_depths(R, t, x0, x1):
+    """Closed-form depths of a two-view correspondence (no triangulation).
+
+    For normalized rays x0h = [x0, 1], x1h = [x1, 1] and cam1 = (R, t), the
+    exact-geometry constraint z1 x1h = R (z0 x0h) + t crossed with x1h gives
+    z0 = -<x1h x t, c> / <c, c> with c = x1h x (R x0h), and z1 follows from
+    the third row. This is the cheirality-test workhorse: sign-equivalent to
+    DLT triangulation at a tiny fraction of the cost (the per-point 4x4
+    inverse-iteration chain of `triangulate_points` dominated the whole pose
+    pipeline's stage A on chip -- ~57 of ~70 ms per w8pt call at 80x1024).
+
+    Args:
+        R: (..., 3, 3); t: (..., 3); x0, x1: (..., N, 2) normalized coords.
+    Returns:
+        (z0 (..., N), z1 (..., N)) depths in cam0 / cam1.
+    """
+    ones = jnp.ones(x0.shape[:-1] + (1,), dtype=x0.dtype)
+    x0h = jnp.concatenate([x0, ones], axis=-1)  # (..., N, 3)
+    x1h = jnp.concatenate([x1, ones], axis=-1)
+    Rx0 = jnp.einsum("...ij,...nj->...ni", R, x0h)
+    c = jnp.cross(x1h, Rx0)
+    x1t = jnp.cross(x1h, jnp.broadcast_to(t[..., None, :], x1h.shape))
+    denom = jnp.sum(c * c, axis=-1)
+    z0 = -jnp.sum(x1t * c, axis=-1) / jnp.maximum(denom, _EPS)
+    z1 = z0 * Rx0[..., 2] + t[..., None, 2]
+    return z0, z1
+
+
+def midpoint_triangulate_rel(R, t, x0, x1):
+    """Closed-form midpoint triangulation for a relative pair (cam0 = identity).
+
+    The midpoint of the shortest segment between the two viewing rays -- the
+    classic closed-form alternative to DLT. Used as the structure INIT of the
+    LM bundle adjusters, where the refinement target is identical and the
+    per-point 4x4 inverse-iteration chain of the DLT is pure overhead.
+
+    Args:
+        R: (..., 3, 3); t: (..., 3) cam1 extrinsics; x0, x1: (..., N, 2).
+    Returns:
+        (..., N, 3) points in the cam0 frame.
+    """
+    z0, z1 = two_ray_depths(R, t, x0, x1)
+    ones = jnp.ones(x0.shape[:-1] + (1,), dtype=x0.dtype)
+    x0h = jnp.concatenate([x0, ones], axis=-1)
+    x1h = jnp.concatenate([x1, ones], axis=-1)
+    X0 = z0[..., None] * x0h
+    # back-project the cam1-frame point into cam0: R^T (z1 x1h - t)
+    X1 = jnp.einsum("...ji,...nj->...ni", R, z1[..., None] * x1h - t[..., None, :])
+    return 0.5 * (X0 + X1)
+
+
 def depth_from_point(R, t, X):
     """Depth of 3D points X (..., N, 3) in the camera with extrinsics (R (...,3,3), t (...,3))."""
     return jnp.einsum("...ij,...nj->...ni", R, X)[..., 2] + t[..., None, 2]
@@ -243,15 +294,11 @@ def cheirality_scores(Rs, ts, x0, x1, w=None):
     """
     if w is None:
         w = jnp.ones(x0.shape[:-1], dtype=x0.dtype)
-    eyeP = jnp.concatenate(
-        [jnp.eye(3, dtype=x0.dtype), jnp.zeros((3, 1), dtype=x0.dtype)], axis=-1
-    )
-    P0 = jnp.broadcast_to(eyeP, Rs.shape[:-2] + (3, 4))
-    P1 = jnp.concatenate([Rs, ts[..., None]], axis=-1)
     x0c = jnp.broadcast_to(x0[..., None, :, :], Rs.shape[:-2] + x0.shape[-2:])
     x1c = jnp.broadcast_to(x1[..., None, :, :], Rs.shape[:-2] + x1.shape[-2:])
-    X = triangulate_points(P0, P1, x0c, x1c)  # (..., C, N, 3)
-    d0 = X[..., 2]
-    d1 = depth_from_point(Rs, ts, X)
+    # closed-form ray depths: sign-equivalent to the reference's triangulation
+    # (kornia `motion_from_essential_choose_solution` path) without the
+    # per-point DLT solve
+    d0, d1 = two_ray_depths(Rs, ts, x0c, x1c)
     pos = jnp.logical_and(d0 > 0.0, d1 > 0.0).astype(x0.dtype)
     return jnp.sum(pos * w[..., None, :], axis=-1)

@@ -170,8 +170,15 @@ def _proj_jac_soa(Rsel, tsel, Xt):
     return pi, Ap, J
 
 
-def _triangulate_pairwise(extr, cam_a, cam_b, xa, xb):
-    """DLT-triangulate each point from its two observing cameras (world frame)."""
+def _triangulate_pairwise_dlt(extr, cam_a, cam_b, xa, xb):
+    """DLT-triangulate each point from its two observing cameras (world frame).
+
+    Kept for the variable-projection (`retriangulate=True`) LM mode: there the
+    triangulation IS the structure solve each iteration, and the DLT's
+    algebraic image-space objective converges measurably tighter than the 3-D
+    midpoint (test_refines_perturbed_cameras: 0.30 vs 0.48 final rot error).
+    The default init path uses the closed-form midpoint below.
+    """
     Pa = extr[cam_a][:, :3, :]  # (P, 3, 4)
     Pb = extr[cam_b][:, :3, :]
 
@@ -186,6 +193,39 @@ def _triangulate_pairwise(extr, cam_a, cam_b, xa, xb):
     wc = h[:, 3]
     sign = jnp.where(wc >= 0, 1.0, -1.0)
     return h[:, :3] / (sign * jnp.maximum(jnp.abs(wc), 1e-9))[:, None]
+
+
+def _triangulate_pairwise(extr, cam_a, cam_b, xa, xb):
+    """Midpoint-triangulate each point from its two observing cameras.
+
+    Closed-form midpoint of the shortest segment between the two viewing rays
+    (world frame). Replaces the per-point 4x4 DLT inverse-iteration chain on
+    the hot path -- this is only the INIT of the LM bundle adjuster, whose
+    refinement target is the same, and the closed form is pure elementwise
+    code on the TPU VPU.
+    """
+    Ta = extr[cam_a]  # (P, 4, 4)
+    Tb = extr[cam_b]
+    Ra, tra = Ta[:, :3, :3], Ta[:, :3, 3]
+    Rb, trb = Tb[:, :3, :3], Tb[:, :3, 3]
+    oa = -jnp.einsum("pji,pj->pi", Ra, tra)  # camera centers (world)
+    ob = -jnp.einsum("pji,pj->pi", Rb, trb)
+    ones = jnp.ones(xa.shape[:-1] + (1,), dtype=xa.dtype)
+    da = jnp.einsum("pji,pj->pi", Ra, jnp.concatenate([xa, ones], -1))
+    db = jnp.einsum("pji,pj->pi", Rb, jnp.concatenate([xb, ones], -1))
+    b = ob - oa
+    a11 = jnp.sum(da * da, axis=-1)
+    a22 = jnp.sum(db * db, axis=-1)
+    a12 = jnp.sum(da * db, axis=-1)
+    r0 = jnp.sum(da * b, axis=-1)
+    r1 = -jnp.sum(db * b, axis=-1)
+    det = a11 * a22 - a12 * a12
+    # near-parallel rays: floor the determinant (the midpoint degenerates the
+    # same way the DLT's null space does; the LM refinement owns the rest)
+    det = jnp.maximum(det, 1e-9 * jnp.maximum(a11 * a22, 1e-12))
+    za = (r0 * a22 + a12 * r1) / det
+    zb = (a11 * r1 + a12 * r0) / det
+    return 0.5 * (oa + za[:, None] * da + ob + zb[:, None] * db)
 
 
 @partial(jax.jit, static_argnames=("n_iterations", "retriangulate", "axis_name"))
@@ -363,7 +403,7 @@ def bundle_adjust_multi_view(
     def body(i, carry):
         extr, Xt, damp, best_extr, best_Xt, best_r = carry
         if retriangulate:
-            Xt = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb).T
+            Xt = _triangulate_pairwise_dlt(extr, cam_a, cam_b, xa, xb).T
         delta_c, delta_p, r_norm, ok = lm_step(extr, Xt, damp)
         improved = r_norm < best_r
         best_extr = jnp.where(improved, extr, best_extr)
@@ -384,7 +424,7 @@ def bundle_adjust_multi_view(
         0, n_iterations, body, carry
     )
     if retriangulate:
-        Xt = _triangulate_pairwise(extr, cam_a, cam_b, xa, xb).T
+        Xt = _triangulate_pairwise_dlt(extr, cam_a, cam_b, xa, xb).T
     r_final = residual_system(extr, Xt)[6]
     if axis_name is not None:
         r_final = jax.lax.psum(r_final, axis_name)

@@ -124,12 +124,18 @@ def _global_stage_impl(extr_tree, edges_i, edges_j, T_rel, edge_valid, x_i, x_j,
     # observation confidences normalized to total 2 (`bundle_adjust_io.py:56-60`)
     w_sum = jnp.maximum(jnp.sum(w) * 2.0, 1e-6)  # 2 observations per match
     w_n = w / (0.5 * w_sum) * 2.0  # == w * 2 / w_sum; total over 2P obs = 2
+    # averaging failure fallback (underconstrained pose graphs): keep the
+    # spanning-tree init, like the reference's print-and-continue
+    # (`ba_init.cpp:80-89`)
+    avg_ok = jnp.all(jnp.isfinite(extr))
+    extr = jnp.where(avg_ok, extr, extr_tree)
     X0 = _triangulate_pairwise(extr, cam_a, cam_b, x_i, x_j)
     extr_ba, _ = bundle_adjust_multi_view(
         extr, X0, cam_a, cam_b, x_i, x_j, w_n,
         n_iterations=cfg.ba_iterations, retriangulate=cfg.ba_retriangulate,
     )
-    return extr_ba
+    ba_ok = jnp.all(jnp.isfinite(extr_ba))
+    return jnp.where(ba_ok, extr_ba, extr)
 
 
 _global_stage = partial(jax.jit, static_argnames=("cfg",))(_global_stage_impl)

@@ -72,10 +72,20 @@ def rotation_averaging(
         Ae = Ae[:, 1:]  # gauge: drop camera 0
         L = jnp.einsum("e,ei,ej->ij", wgt, Ae, Ae)  # (N-1, N-1)
         b = -jnp.einsum("e,ei,ed->id", wgt, Ae, r)  # (N-1, 3)
-        L = L + 1e-8 * jnp.eye(N - 1, dtype=R.dtype)
+        # scale-RELATIVE damping: an absolute 1e-8 underflows in f32 next to
+        # O(1) edge weights (1 + 1e-8 == 1), so an underconstrained graph
+        # (e.g. a single valid edge) left L exactly singular and the Cholesky
+        # produced NaNs. Damping at 1e-5 of the largest diagonal keeps every
+        # camera's block invertible at any weight scale.
+        diag_max = jnp.maximum(jnp.max(jnp.diagonal(L)), 1.0)
+        L = L + (1e-5 * diag_max) * jnp.eye(N - 1, dtype=R.dtype)
         chol, low = jax.scipy.linalg.cho_factor(L, lower=True)
         delta = jax.scipy.linalg.cho_solve((chol, low), b)  # (N-1, 3)
         delta = jnp.concatenate([jnp.zeros((1, 3), dtype=R.dtype), delta], axis=0)
+        # keep the previous iterate if the solve degenerated anyway (the
+        # reference's averaging failure prints-and-continues, ba_init.cpp:80-89)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0)
         return R @ so3_exp(delta), r
 
     def irls_round(R, _):

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from e2e_multi_view_matching_tpu.geom.epipolar import triangulate_points
+from e2e_multi_view_matching_tpu.geom.epipolar import midpoint_triangulate_rel
 from e2e_multi_view_matching_tpu.geom.lie import hat, se3_exp
 from e2e_multi_view_matching_tpu.geom.linalg import eig_thresholded_solve, inv3x3
 
@@ -107,9 +107,10 @@ def bundle_adjust_two_view(
     w = w_match / jnp.maximum(0.5 * jnp.sum(w_match, axis=-1, keepdims=True), 1e-6)
 
     # triangulate initial points in the cam0 frame
-    eyeP = jnp.concatenate([jnp.eye(3, dtype=x0.dtype), jnp.zeros((3, 1), dtype=x0.dtype)], -1)
-    P0 = jnp.broadcast_to(eyeP, (B, 3, 4))
-    X = triangulate_points(P0, init_T021[:, :3, :], x0, x1)  # (B, K, 3)
+    X = midpoint_triangulate_rel(
+        init_T021[:, :3, :3], init_T021[:, :3, 3], x0, x1
+    )  # (B, K, 3); closed-form midpoint: same refinement target as DLT,
+    # none of the per-point 4x4 inverse-iteration cost
 
     T_identity = jnp.broadcast_to(jnp.eye(4, dtype=x0.dtype), (B, 4, 4))
 
@@ -193,7 +194,7 @@ def bundle_adjust_two_view(
     def body(i, carry):
         T1, X, damp, best_T1, best_r = carry
         if retriangulate:
-            X = triangulate_points(P0, T1[:, :3, :], x0, x1)
+            X = midpoint_triangulate_rel(T1[:, :3, :3], T1[:, :3, 3], x0, x1)
         delta_c, delta_p, r_norm, step_ok = lm_step(T1, X, damp)
         improved = r_norm < best_r
         best_T1 = jnp.where(improved[:, None, None], T1, best_T1)
@@ -219,7 +220,7 @@ def bundle_adjust_two_view(
     T1, X, damp, best_T1, best_r = jax.lax.fori_loop(0, n_iterations, body, carry)
     # final evaluation captures the last iterate if it is the best
     if retriangulate:
-        X = triangulate_points(P0, T1[:, :3, :], x0, x1)
+        X = midpoint_triangulate_rel(T1[:, :3, :3], T1[:, :3, 3], x0, x1)
     r_final = residual_system(T1, X)[5]
     improved = r_final < best_r
     best_T1 = jnp.where(improved[:, None, None], T1, best_T1)

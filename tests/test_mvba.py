@@ -88,6 +88,23 @@ class TestRotationAveraging:
     def test_bad_init_converges(self, rng):
         assert self._run(rng, noise=0.0, init_perturb=0.5) < 0.5
 
+    def test_underconstrained_graph_stays_finite(self, rng):
+        # regression: with O(1) edge weights an absolute 1e-8 Laplacian damping
+        # underflows in f32, so a graph with a single valid edge left the
+        # reduced system exactly singular and the Cholesky emitted NaNs
+        R_gt, _ = make_rig(rng)
+        E = all_edges(5)
+        R_rel = jnp.asarray(
+            np.stack([R_gt[j] @ R_gt[i].T for i, j in E]).astype(np.float32))
+        R_init = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (5, 1, 1)))
+        for n_valid in (0, 1, 2):
+            ev = np.zeros(len(E), bool)
+            ev[len(E) - n_valid:] = True
+            out = rotation_averaging(
+                R_init, jnp.asarray(E[:, 0]), jnp.asarray(E[:, 1]), R_rel,
+                jnp.asarray(ev))
+            assert np.isfinite(np.asarray(out)).all(), n_valid
+
 
 class TestTranslationAveraging:
     def _run(self, rng, noise=0.0, n_outliers=0):
