@@ -64,89 +64,16 @@ def _proj_jac(T_c, X):
     return pi, Ap, J
 
 
-# -- SoA small-matrix helpers: operands are (m, k, P) with the point axis last;
-# every product is an unrolled sum of fully-packed (P,)-vector multiplies that
-# XLA fuses on the VPU (m, k, n <= 6).
-
-
-def _mm_soa(A, B):
-    """(m, k, P) @ (k, n, P) -> (m, n, P), elementwise over P."""
-    m, k = A.shape[0], A.shape[1]
-    n = B.shape[1]
-    return jnp.stack([
-        jnp.stack([
-            sum(A[i, q] * B[q, j] for q in range(k)) for j in range(n)
-        ], axis=0)
-        for i in range(m)
-    ], axis=0)
-
-
-def _mtm_soa(A, B):
-    """sum_r A[r, i] B[r, j]: (r, m, P), (r, n, P) -> (m, n, P)."""
-    r, m = A.shape[0], A.shape[1]
-    n = B.shape[1]
-    return jnp.stack([
-        jnp.stack([
-            sum(A[q, i] * B[q, j] for q in range(r)) for j in range(n)
-        ], axis=0)
-        for i in range(m)
-    ], axis=0)
-
-
-def _abT_soa(A, B):
-    """sum_k A[i, k] B[j, k]: (m, k, P), (n, k, P) -> (m, n, P)."""
-    m, k = A.shape[0], A.shape[1]
-    n = B.shape[0]
-    return jnp.stack([
-        jnp.stack([
-            sum(A[i, q] * B[j, q] for q in range(k)) for j in range(n)
-        ], axis=0)
-        for i in range(m)
-    ], axis=0)
-
-
-def _mv_soa(A, v):
-    """(m, k, P) @ (k, P) -> (m, P)."""
-    m, k = A.shape[0], A.shape[1]
-    return jnp.stack(
-        [sum(A[i, q] * v[q] for q in range(k)) for i in range(m)], axis=0
-    )
-
-
-def _mtv_soa(A, v):
-    """sum_r A[r, m] v[r]: (r, m, P), (r, P) -> (m, P)."""
-    r, m = A.shape[0], A.shape[1]
-    return jnp.stack(
-        [sum(A[q, i] * v[q] for q in range(r)) for i in range(m)], axis=0
-    )
-
-
-def _hat_soa(a):
-    """(3, P) -> (3, 3, P) skew-symmetric."""
-    z = jnp.zeros_like(a[0])
-    return jnp.stack([
-        jnp.stack([z, -a[2], a[1]], axis=0),
-        jnp.stack([a[2], z, -a[0]], axis=0),
-        jnp.stack([-a[1], a[0], z], axis=0),
-    ], axis=0)
-
-
-def _inv3x3_soa(H):
-    """Closed-form adjugate inverse of (3, 3, P) matrices."""
-    a, b, c = H[0, 0], H[0, 1], H[0, 2]
-    d, e, f = H[1, 0], H[1, 1], H[1, 2]
-    g, h, i = H[2, 0], H[2, 1], H[2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    sign = jnp.where(det >= 0, 1.0, -1.0)
-    inv_det = sign / jnp.maximum(jnp.abs(det), 1e-30)
-    return inv_det[None, None] * jnp.stack([
-        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=0),
-        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=0),
-        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=0),
-    ], axis=0)
+# SoA small-matrix helpers shared with pose/two_view_ba.py: see geom/soa.py
+from e2e_multi_view_matching_tpu.geom.soa import (  # noqa: E402
+    abT_soa as _abT_soa,
+    hat_soa as _hat_soa,
+    inv3x3_soa as _inv3x3_soa,
+    mm_soa as _mm_soa,
+    mtm_soa as _mtm_soa,
+    mtv_soa as _mtv_soa,
+    mv_soa as _mv_soa,
+)
 
 
 def _proj_jac_soa(Rsel, tsel, Xt):

@@ -9,6 +9,7 @@ decreases, near-optimal inits stay near-optimal, large perturbations improve
 substantially in variable-projection mode.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -168,3 +169,23 @@ class TestTwoViewBA:
         assert bool(valid[0]) and not bool(valid[1])
         np.testing.assert_allclose(np.asarray(T_out[1]), T_init, atol=1e-6)
         assert np.all(np.isfinite(np.asarray(T_out[0])))
+
+    def test_gradients_finite(self, rng):
+        """BA must be differentiable wrt keypoints without NaN leakage.
+
+        Regression for the SoA rework: a det floor of 1e-30 in the point-block
+        inverse let a near-singular Hpp emit an overflowing delta whose Inf,
+        though masked out of the primal by step_ok, poisoned the VJP of the
+        update `where` (Inf * 0 = NaN)."""
+        x0, x1, T, T_init = make_case(rng, n_pts=64, noise=5e-4)
+        x0j = jnp.asarray(x0[None])
+        x1j = jnp.asarray(x1[None])
+        conf = jnp.ones((1, 64), jnp.float32)
+        Ti = jnp.asarray(T_init[None])
+
+        def loss(x0_):
+            T_out, _ = bundle_adjust_two_view(x0_, x1j, conf, Ti, n_iterations=5)
+            return jnp.sum(T_out[:, :3, :] ** 2)
+
+        g = jax.grad(loss)(x0j)
+        assert bool(jnp.all(jnp.isfinite(g)))
