@@ -24,7 +24,9 @@ from e2e_multi_view_matching_tpu.models.matcher import (
 from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPointConfig
 from e2e_multi_view_matching_tpu.mvba.pipeline import (
     MultiViewPipelineConfig,
+    multi_view_pose_from_stage_a,
     multi_view_pose_pipeline_batch,
+    multi_view_pose_stage_a,
 )
 from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint, load_config
 from e2e_multi_view_matching_tpu.train.step import TrainState
@@ -92,9 +94,10 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
     variant (two device dispatches per chunk instead of two per tuple)."""
     pose_errors = ([], [], [])
     V = opt.tuple_size
+    fuse_stage_a = pipeline_cfg.init_mode == "w8pt_ba"
 
     @jax.jit
-    def infer(sp_vars, m_vars, images, image_size, rng):
+    def infer(sp_vars, m_vars, images, intr, image_size, rng):
         # images (B, V, H, W, 1) -> one SuperPoint batch over all B*V frames
         B = images.shape[0]
         sp_out = superpoint.apply(
@@ -105,7 +108,14 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         scores = sp_out["scores"].reshape(B, V, -1)
         descs = sp_out["descriptors"].reshape(B, V, -1, descs_dim)
         out = matcher.apply(m_vars, kpts, scores, descs, image_size)
-        return kpts, out["matches0"], out["conf_scores"]
+        if fuse_stage_a:
+            # SuperPoint -> matcher -> per-pair robust relative poses in ONE
+            # compiled program: the only host hop left before the averaging+BA
+            # dispatch is the tiny packed pose/count fetch for spanning trees
+            stage_a = multi_view_pose_stage_a(
+                kpts, intr, out["matches0"], out["conf_scores"], pipeline_cfg)
+            return kpts, out["matches0"], out["conf_scores"], stage_a
+        return kpts, out["matches0"], out["conf_scores"], None
 
     descs_dim = matcher.config.descriptor_dim
     rng = jax.random.PRNGKey(0)
@@ -119,11 +129,15 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         H, W = images.shape[2:4]
         image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
         rng, key = jax.random.split(rng)
-        kpts, matches0, conf = infer(sp_vars, m_vars, images, image_size, key)
-        extr_b = multi_view_pose_pipeline_batch(
-            kpts, np.stack([s["intr"][:, :3, :3] for s in samples]),
-            matches0, conf, pipeline_cfg,
-        )
+        intr_b = jnp.asarray(np.stack([s["intr"][:, :3, :3] for s in samples]))
+        kpts, matches0, conf, stage_a = infer(
+            sp_vars, m_vars, images, intr_b, image_size, key)
+        if stage_a is not None:
+            extr_b = multi_view_pose_from_stage_a(stage_a, pipeline_cfg)
+        else:
+            extr_b = multi_view_pose_pipeline_batch(
+                kpts, intr_b, matches0, conf, pipeline_cfg,
+            )
         for sample, extr in zip(samples, extr_b):
             for j in range(V):
                 for i in range(j):

@@ -210,6 +210,123 @@ def _ransac_relative_poses(kpts_i, kpts_j, intr_i, intr_j, conf, cfg):
     return T_rel, inlier_count, pose_valid, conf_gated
 
 
+def multi_view_pose_stage_a(kpts, intr, matches0, conf,
+                            cfg=MultiViewPipelineConfig()):
+    """Traceable stage A: matcher outputs -> per-pair relative poses.
+
+    Pure JAX (w8pt_ba init mode only), so callers can inline it into a larger
+    jitted program -- the eval CLI and bench fuse SuperPoint -> matcher ->
+    stage A into ONE device dispatch; on the axon tunnel each extra dispatch
+    costs ~30 ms of round-trip overhead.
+
+    Args:
+        as `multi_view_pose_pipeline_batch` (kpts (B, V, K, 2), intr
+        (B, V, 3|4, 3|4), matches0 (B, P, K), conf (B, P, K)).
+    Returns:
+        dict of device arrays:
+          packed (B*P*18,) f32 -- ravel(T_rel) ++ inlier counts ++ validity,
+            sized for a single device->host fetch before the host tree stage;
+          T_rel (B, P, 4, 4); conf_gated (B, P, K) epipolar-inlier-gated
+            confidences; x_i_n, x_j_n (B, P, K, 2) normalized observations.
+    """
+    kpts = jnp.asarray(kpts)
+    intr = jnp.asarray(intr)[..., :3, :3]
+    matches0 = jnp.asarray(matches0)
+    conf = jnp.asarray(conf)
+    B, V, K, _ = kpts.shape
+    pairs = _pair_list(V)
+    P = len(pairs)
+    idx_i = np.asarray([p[0] for p in pairs])
+    idx_j = np.asarray([p[1] for p in pairs])
+
+    kpts_i = kpts[:, idx_i]  # (B, P, K, 2)
+    gather = jnp.clip(matches0, 0, K - 1)
+    kpts_j = jnp.take_along_axis(kpts[:, idx_j], gather[..., None], axis=2)
+    valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
+    conf_m = jnp.where(valid, conf, 0.0)
+    intr_i = intr[:, idx_i]
+    intr_j = intr[:, idx_j]
+
+    T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
+        kpts_i.reshape(B * P, K, 2), kpts_j.reshape(B * P, K, 2),
+        intr_i.reshape(B * P, 3, 3), intr_j.reshape(B * P, 3, 3),
+        conf_m.reshape(B * P, K), cfg.two_view_ba_iterations,
+    )
+    packed = jnp.concatenate([
+        jnp.ravel(T_rel), inlier_count.astype(jnp.float32).ravel(),
+        pose_valid.astype(jnp.float32).ravel(),
+    ])
+    return {
+        "packed": packed,
+        "T_rel": T_rel.reshape(B, P, 4, 4),
+        "conf_gated": conf_gated.reshape(B, P, K),
+        "x_i_n": normalize_keypoints(kpts_i, intr_i),
+        "x_j_n": normalize_keypoints(kpts_j, intr_j),
+    }
+
+
+def multi_view_pose_from_stage_a(stage_a, cfg=MultiViewPipelineConfig(),
+                                 profile=None):
+    """Host spanning trees + averaging/BA from `multi_view_pose_stage_a` output.
+
+    Performs the pipeline's single device->host fetch (the packed pose/count
+    vector), chains the per-tuple maximum spanning trees on the host, and runs
+    the batched averaging+BA stage. Returns (B, V, 4, 4) numpy extrinsics.
+    """
+    t0 = time.perf_counter()
+    B, P, K = stage_a["conf_gated"].shape
+    V = int(round((1 + np.sqrt(1 + 8 * P)) / 2))
+    pairs = _pair_list(V)
+    idx_i = np.asarray([p[0] for p in pairs])
+    idx_j = np.asarray([p[1] for p in pairs])
+
+    packed = np.asarray(stage_a["packed"])  # the one tunnel round trip
+    T_rel_np = packed[: B * P * 16].reshape(B, P, 4, 4)
+    counts_np = packed[B * P * 16: B * P * 17].reshape(B, P).astype(np.int32)
+    valid_np = packed[B * P * 17:].reshape(B, P) > 0.5
+    if profile is not None:
+        t1 = time.perf_counter()
+        profile["stage_a_fetch_s"] = t1 - t0
+        t0 = t1
+
+    extr_tree = np.zeros((B, V, 4, 4), np.float32)
+    edge_valid = np.zeros((B, P), bool)
+    for b in range(B):
+        rel_dict = {pairs[p]: T_rel_np[b, p] for p in range(P) if valid_np[b, p]}
+        cnt_dict = {pairs[p]: int(counts_np[b, p]) for p in range(P) if valid_np[b, p]}
+        extr_tree[b], tree = spanning_tree_poses(V, rel_dict, cnt_dict)
+        tree_set = set(tree)
+        edge_valid[b] = [
+            valid_np[b, p]
+            and (counts_np[b, p] >= cfg.min_inliers or pairs[p] in tree_set)
+            for p in range(P)
+        ]
+    if profile is not None:
+        t1 = time.perf_counter()
+        profile["tree_host_s"] = t1 - t0
+        t0 = t1
+
+    cam_a = jnp.asarray(np.repeat(idx_i, K).astype(np.int32))
+    cam_b = jnp.asarray(np.repeat(idx_j, K).astype(np.int32))
+    extr_ba = _global_stage_batch(
+        jnp.asarray(extr_tree),
+        jnp.asarray(idx_i.astype(np.int32)),
+        jnp.asarray(idx_j.astype(np.int32)),
+        stage_a["T_rel"],
+        jnp.asarray(edge_valid),
+        stage_a["x_i_n"].reshape(B, P * K, 2),
+        stage_a["x_j_n"].reshape(B, P * K, 2),
+        stage_a["conf_gated"].reshape(B, P * K),
+        cam_a,
+        cam_b,
+        cfg,
+    )
+    out = np.asarray(extr_ba)
+    if profile is not None:
+        profile["stage_b_s"] = time.perf_counter() - t0
+    return out
+
+
 def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
                                    cfg=MultiViewPipelineConfig(), profile=None):
     """Estimate absolute extrinsics for a batch of view tuples.
@@ -236,26 +353,25 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
         (B, V, 4, 4) numpy extrinsics (world->cam, camera 0 = identity frame).
     """
     t0 = time.perf_counter()
-    kpts = jnp.asarray(kpts)
-    intr = jnp.asarray(intr)[..., :3, :3]
-    matches0 = jnp.asarray(matches0)
-    conf = jnp.asarray(conf)
-    B, V, K, _ = kpts.shape
-    pairs = _pair_list(V)
-    P = len(pairs)
-    idx_i = np.asarray([p[0] for p in pairs])
-    idx_j = np.asarray([p[1] for p in pairs])
-
-    # gather per-pair matched coordinates; invalid -> conf 0
-    kpts_i = kpts[:, idx_i]  # (B, P, K, 2)
-    gather = jnp.clip(matches0, 0, K - 1)
-    kpts_j = jnp.take_along_axis(kpts[:, idx_j], gather[..., None], axis=2)
-    valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
-    conf_m = jnp.where(valid, conf, 0.0)
-    intr_i = intr[:, idx_i]  # (B, P, 3, 3)
-    intr_j = intr[:, idx_j]
-
     if cfg.init_mode in ("ransac", "ransac_ba"):
+        kpts = jnp.asarray(kpts)
+        intr = jnp.asarray(intr)[..., :3, :3]
+        matches0 = jnp.asarray(matches0)
+        conf = jnp.asarray(conf)
+        B, V, K, _ = kpts.shape
+        pairs = _pair_list(V)
+        P = len(pairs)
+        idx_i = np.asarray([p[0] for p in pairs])
+        idx_j = np.asarray([p[1] for p in pairs])
+
+        # gather per-pair matched coordinates; invalid -> conf 0
+        kpts_i = kpts[:, idx_i]  # (B, P, K, 2)
+        gather = jnp.clip(matches0, 0, K - 1)
+        kpts_j = jnp.take_along_axis(kpts[:, idx_j], gather[..., None], axis=2)
+        valid = (matches0 >= 0) & (conf > cfg.conf_thresh)
+        conf_m = jnp.where(valid, conf, 0.0)
+        intr_i = intr[:, idx_i]  # (B, P, 3, 3)
+        intr_j = intr[:, idx_j]
         T_rel, inlier_count, pose_valid, conf_gated = _ransac_relative_poses(
             np.asarray(kpts_i).reshape(B * P, K, 2),
             np.asarray(kpts_j).reshape(B * P, K, 2),
@@ -263,77 +379,24 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
             np.asarray(intr_j).reshape(B * P, 3, 3),
             np.asarray(conf_m).reshape(B * P, K), cfg,
         )
-        T_rel_np = T_rel.reshape(B, P, 4, 4)
-        counts_np = inlier_count.reshape(B, P)
-        valid_np = pose_valid.reshape(B, P)
-        T_rel = jnp.asarray(T_rel)
-        conf_gated = jnp.asarray(conf_gated)
+        stage_a = {
+            "packed": np.concatenate([
+                T_rel.ravel(), inlier_count.astype(np.float32).ravel(),
+                pose_valid.astype(np.float32).ravel(),
+            ]),
+            "T_rel": jnp.asarray(T_rel).reshape(B, P, 4, 4),
+            "conf_gated": jnp.asarray(conf_gated).reshape(B, P, K),
+            "x_i_n": normalize_keypoints(kpts_i, intr_i),
+            "x_j_n": normalize_keypoints(kpts_j, intr_j),
+        }
     else:
-        T_rel, inlier_count, pose_valid, conf_gated = robust_relative_poses(
-            kpts_i.reshape(B * P, K, 2), kpts_j.reshape(B * P, K, 2),
-            intr_i.reshape(B * P, 3, 3), intr_j.reshape(B * P, 3, 3),
-            conf_m.reshape(B * P, K), cfg.two_view_ba_iterations,
-        )
-        # single packed device->host fetch for the tiny host stage (each
-        # separate np.asarray costs a tunnel round trip, ~30 ms on axon)
-        packed = np.asarray(jnp.concatenate([
-            jnp.ravel(T_rel), inlier_count.astype(jnp.float32).ravel(),
-            pose_valid.astype(jnp.float32).ravel(),
-        ]))
-        T_rel_np = packed[: B * P * 16].reshape(B, P, 4, 4)
-        counts_np = packed[B * P * 16 : B * P * 17].reshape(B, P).astype(np.int32)
-        valid_np = packed[B * P * 17 :].reshape(B, P) > 0.5
+        stage_a = multi_view_pose_stage_a(kpts, intr, matches0, conf, cfg)
+    out = multi_view_pose_from_stage_a(stage_a, cfg, profile=profile)
     if profile is not None:
-        t1 = time.perf_counter()
-        profile["stage_a_s"] = t1 - t0
-        t0 = t1
-
-    # host: one spanning tree per tuple over inlier counts
-    extr_tree = np.zeros((B, V, 4, 4), np.float32)
-    edge_valid = np.zeros((B, P), bool)
-    for b in range(B):
-        rel_dict = {pairs[p]: T_rel_np[b, p] for p in range(P) if valid_np[b, p]}
-        cnt_dict = {pairs[p]: int(counts_np[b, p]) for p in range(P) if valid_np[b, p]}
-        extr_tree[b], tree = spanning_tree_poses(V, rel_dict, cnt_dict)
-        tree_set = set(tree)
-        # edges entering the averaging: successful pairs with enough inliers or
-        # on the tree (`bundle_adjust_io.py:185`)
-        edge_valid[b] = [
-            valid_np[b, p]
-            and (counts_np[b, p] >= cfg.min_inliers or pairs[p] in tree_set)
-            for p in range(P)
-        ]
-    if profile is not None:
-        t1 = time.perf_counter()
-        profile["tree_host_s"] = t1 - t0
-        t0 = t1
-
-    # flatten observations: one point per match slot of every pair
-    x_i_n = normalize_keypoints(kpts_i, intr_i)  # (B, P, K, 2)
-    x_j_n = normalize_keypoints(kpts_j, intr_j)
-    cam_a = jnp.asarray(np.repeat(idx_i, K).astype(np.int32))
-    cam_b = jnp.asarray(np.repeat(idx_j, K).astype(np.int32))
-    # BA observations use the epipolar-inlier-gated confidences from stage A;
-    # the reference feeds raw matcher confidences to Ceres (plain weighted L2,
-    # no robust loss) and relies on the conf MLP alone to suppress outliers.
-    w_obs = conf_gated.reshape(B, P * K)
-
-    extr_ba = _global_stage_batch(
-        jnp.asarray(extr_tree),
-        jnp.asarray(idx_i.astype(np.int32)),
-        jnp.asarray(idx_j.astype(np.int32)),
-        T_rel.reshape(B, P, 4, 4),
-        jnp.asarray(edge_valid),
-        x_i_n.reshape(B, P * K, 2),
-        x_j_n.reshape(B, P * K, 2),
-        w_obs,
-        cam_a,
-        cam_b,
-        cfg,
-    )
-    out = np.asarray(extr_ba)
-    if profile is not None:
-        profile["stage_b_s"] = time.perf_counter() - t0
+        # stage_a_s: stage-A trace/dispatch + the packed fetch that forces it
+        profile.pop("stage_a_fetch_s", None)
+        profile["stage_a_s"] = (time.perf_counter() - t0) - (
+            profile.get("tree_host_s", 0.0) + profile.get("stage_b_s", 0.0))
     return out
 
 
