@@ -219,39 +219,38 @@ def main():
     print(f"end-to-end eval (staged sum): {t_staged * 1e3:.1f} ms/tuple = "
           f"{1.0 / t_staged:.2f} tuples/s", flush=True)
 
-    # ---- fused end-to-end: SuperPoint -> matcher -> pose stage A in ONE
-    # compiled program (the eval CLI's production path); the only host hops
-    # are the packed pose/count fetch for the spanning trees and the final
-    # extrinsics fetch -- 2 tunnel round trips instead of 4.
+    # ---- fused end-to-end: SuperPoint -> matcher -> COMPLETE pose pipeline
+    # (robust rel-poses -> device spanning trees -> averaging -> Schur BA) in
+    # ONE compiled program (the eval CLI's production path); the chunk's only
+    # host transfer is the final (B, V, 4, 4) extrinsics fetch -- 1 tunnel
+    # round trip instead of round 2's 4.
     from e2e_multi_view_matching_tpu.mvba.pipeline import (
         MultiViewPipelineConfig,
-        multi_view_pose_from_stage_a,
-        multi_view_pose_stage_a,
+        multi_view_pose_device,
     )
 
     pcfg = MultiViewPipelineConfig()
     intr_dev = jnp.asarray(intr)
 
     @jax.jit
-    def fused_front(sp_vars, m_vars, images, intr_, image_size, rng_):
+    def fused_e2e_fn(sp_vars, m_vars, images, intr_, image_size, rng_):
         sp_out = sp.apply(sp_vars, images, rngs={"keypoints": rng_})
         kpts_ = sp_out["keypoints"].reshape(B, V, K, 2)
         scores_ = sp_out["scores"].reshape(B, V, K)
         descs_ = sp_out["descriptors"].reshape(B, V, K, D)
         out = matcher.apply(m_vars, kpts_, scores_, descs_, image_size)
-        return multi_view_pose_stage_a(
+        return multi_view_pose_device(
             kpts_, intr_, out["matches0"], out["conf_scores"], pcfg)
 
     def fused_e2e():
-        stage_a = fused_front(sp_vars, variables, images, intr_dev,
-                              image_size, key)
-        return multi_view_pose_from_stage_a(stage_a, pcfg)
+        return np.asarray(fused_e2e_fn(sp_vars, variables, images, intr_dev,
+                                       image_size, key))
 
     fused_e2e()  # compile
     t_fused_l = []
     for _ in range(4):
         t0 = time.perf_counter()
-        extr = fused_e2e()  # from_stage_a ends in a full host fetch
+        extr = fused_e2e()  # ends in the full extrinsics host fetch
         t_fused_l.append(time.perf_counter() - t0)
     t_fused = min(t_fused_l)
     assert np.all(np.isfinite(extr))

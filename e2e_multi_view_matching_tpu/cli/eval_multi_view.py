@@ -24,9 +24,8 @@ from e2e_multi_view_matching_tpu.models.matcher import (
 from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPointConfig
 from e2e_multi_view_matching_tpu.mvba.pipeline import (
     MultiViewPipelineConfig,
-    multi_view_pose_from_stage_a,
+    multi_view_pose_device,
     multi_view_pose_pipeline_batch,
-    multi_view_pose_stage_a,
 )
 from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint, load_config
 from e2e_multi_view_matching_tpu.train.step import TrainState
@@ -94,7 +93,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
     variant (two device dispatches per chunk instead of two per tuple)."""
     pose_errors = ([], [], [])
     V = opt.tuple_size
-    fuse_stage_a = pipeline_cfg.init_mode == "w8pt_ba"
+    fuse = pipeline_cfg.init_mode == "w8pt_ba"
 
     @jax.jit
     def infer(sp_vars, m_vars, images, intr, image_size, rng):
@@ -108,13 +107,14 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         scores = sp_out["scores"].reshape(B, V, -1)
         descs = sp_out["descriptors"].reshape(B, V, -1, descs_dim)
         out = matcher.apply(m_vars, kpts, scores, descs, image_size)
-        if fuse_stage_a:
-            # SuperPoint -> matcher -> per-pair robust relative poses in ONE
-            # compiled program: the only host hop left before the averaging+BA
-            # dispatch is the tiny packed pose/count fetch for spanning trees
-            stage_a = multi_view_pose_stage_a(
+        if fuse:
+            # SuperPoint -> matcher -> COMPLETE pose pipeline (robust relative
+            # poses -> device spanning trees -> averaging -> Schur BA) in ONE
+            # compiled program: the chunk's only host transfer is the final
+            # (B, V, 4, 4) extrinsics fetch
+            extr = multi_view_pose_device(
                 kpts, intr, out["matches0"], out["conf_scores"], pipeline_cfg)
-            return kpts, out["matches0"], out["conf_scores"], stage_a
+            return kpts, out["matches0"], out["conf_scores"], extr
         return kpts, out["matches0"], out["conf_scores"], None
 
     descs_dim = matcher.config.descriptor_dim
@@ -130,10 +130,10 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
         rng, key = jax.random.split(rng)
         intr_b = jnp.asarray(np.stack([s["intr"][:, :3, :3] for s in samples]))
-        kpts, matches0, conf, stage_a = infer(
+        kpts, matches0, conf, extr_dev = infer(
             sp_vars, m_vars, images, intr_b, image_size, key)
-        if stage_a is not None:
-            extr_b = multi_view_pose_from_stage_a(stage_a, pipeline_cfg)
+        if extr_dev is not None:
+            extr_b = np.asarray(extr_dev)
         else:
             extr_b = multi_view_pose_pipeline_batch(
                 kpts, intr_b, matches0, conf, pipeline_cfg,
@@ -174,13 +174,14 @@ def main(argv=None):
     superpoint = SuperPoint(SuperPointConfig(
         nms_radius=opt.nms_radius, keypoint_threshold=opt.keypoint_threshold,
         max_keypoints=opt.max_keypoints, remove_borders=opt.remove_borders,
-        fill_with_random_keypoints=False,
+        fill_with_random_keypoints=False, compute_dtype=opt.compute_dtype,
     ))
     matcher = MultiViewMatcher(MatcherConfig(
         gnn_layers=default_gnn_layers(opt.gnn_layers, opt.cross_attention_layers),
         sinkhorn_iterations=opt.sinkhorn_iterations,
         conf_mlp=True, multi_frame_matching=True,
         attention_impl=opt.attention_impl, sinkhorn_impl=opt.sinkhorn_impl,
+        compute_dtype=opt.compute_dtype,
     ))
 
     key = jax.random.PRNGKey(0)

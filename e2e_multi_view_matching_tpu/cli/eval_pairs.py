@@ -240,12 +240,13 @@ def main(argv=None):
     superpoint = SuperPoint(SuperPointConfig(
         nms_radius=opt.nms_radius, keypoint_threshold=opt.keypoint_threshold,
         max_keypoints=opt.max_keypoints, remove_borders=0,
-        fill_with_random_keypoints=False,
+        fill_with_random_keypoints=False, compute_dtype=opt.compute_dtype,
     ))
     matcher = MultiViewMatcher(MatcherConfig(
         gnn_layers=default_gnn_layers(9, 1), sinkhorn_iterations=opt.sinkhorn_iterations,
         conf_mlp=True, multi_frame_matching=False,
         attention_impl=opt.attention_impl, sinkhorn_impl=opt.sinkhorn_impl,
+        compute_dtype=opt.compute_dtype,
     ))
     key = jax.random.PRNGKey(0)
     m_vars = matcher.init(

@@ -98,6 +98,7 @@ def build_models(opt):
         max_keypoints=opt.max_keypoints,
         remove_borders=opt.remove_borders,
         fill_with_random_keypoints=True,
+        compute_dtype=getattr(opt, "compute_dtype", "float32"),
     ))
     matcher = MultiViewMatcher(MatcherConfig(
         gnn_layers=default_gnn_layers(opt.gnn_layers, opt.cross_attention_layers),
@@ -105,6 +106,7 @@ def build_models(opt):
         conf_mlp=bool(opt.pose_loss),
         multi_frame_matching=opt.tuple_size > 2,
         attention_impl=opt.attention_impl, sinkhorn_impl=opt.sinkhorn_impl,
+        compute_dtype=getattr(opt, "compute_dtype", "float32"),
     ))
     return superpoint, matcher
 

@@ -33,7 +33,10 @@ from e2e_multi_view_matching_tpu.mvba.bundle_adjust import (
     bundle_adjust_multi_view,
 )
 from e2e_multi_view_matching_tpu.mvba.rotation_averaging import rotation_averaging
-from e2e_multi_view_matching_tpu.mvba.spanning_tree import spanning_tree_poses
+from e2e_multi_view_matching_tpu.mvba.spanning_tree import (
+    spanning_tree_poses,
+    spanning_tree_poses_device,
+)
 from e2e_multi_view_matching_tpu.mvba.translation_averaging import (
     edge_directions,
     translation_averaging,
@@ -226,8 +229,9 @@ def multi_view_pose_stage_a(kpts, intr, matches0, conf,
         dict of device arrays:
           packed (B*P*18,) f32 -- ravel(T_rel) ++ inlier counts ++ validity,
             sized for a single device->host fetch before the host tree stage;
-          T_rel (B, P, 4, 4); conf_gated (B, P, K) epipolar-inlier-gated
-            confidences; x_i_n, x_j_n (B, P, K, 2) normalized observations.
+          T_rel (B, P, 4, 4); counts (B, P) int; valid (B, P) bool;
+          conf_gated (B, P, K) epipolar-inlier-gated confidences;
+          x_i_n, x_j_n (B, P, K, 2) normalized observations.
     """
     kpts = jnp.asarray(kpts)
     intr = jnp.asarray(intr)[..., :3, :3]
@@ -259,6 +263,8 @@ def multi_view_pose_stage_a(kpts, intr, matches0, conf,
     return {
         "packed": packed,
         "T_rel": T_rel.reshape(B, P, 4, 4),
+        "counts": inlier_count.reshape(B, P),
+        "valid": pose_valid.reshape(B, P),
         "conf_gated": conf_gated.reshape(B, P, K),
         "x_i_n": normalize_keypoints(kpts_i, intr_i),
         "x_j_n": normalize_keypoints(kpts_j, intr_j),
@@ -327,6 +333,60 @@ def multi_view_pose_from_stage_a(stage_a, cfg=MultiViewPipelineConfig(),
     return out
 
 
+def multi_view_pose_device(kpts, intr, matches0, conf,
+                           cfg=MultiViewPipelineConfig()):
+    """Fully traceable multi-view pose pipeline: zero host hops.
+
+    The complete `w8pt_ba` pipeline -- per-pair robust relative poses (stage
+    A), maximum-spanning-tree initialization (`spanning_tree_poses_device`,
+    Prim's with the V-1 growth steps unrolled), rotation/translation
+    averaging, and multi-camera Schur LM BA -- as ONE jittable function of
+    device arrays. The eval CLI and bench inline this after the matcher, so an
+    entire eval chunk (SuperPoint -> matcher -> extrinsics) is a single
+    compiled program with a single dispatch; on the axon tunnel each saved
+    host round trip is worth ~26 ms.
+
+    Replaces the reference's two C++ subprocess hops + CSV IPC
+    (`/root/reference/eval_multi_view.py:32,45`) with zero IPC of any kind.
+
+    Args/returns as `multi_view_pose_pipeline_batch`, but the result is a
+    (B, V, 4, 4) DEVICE array.
+    """
+    stage_a = multi_view_pose_stage_a(kpts, intr, matches0, conf, cfg)
+    B, P, K = stage_a["conf_gated"].shape
+    V = int(round((1 + np.sqrt(1 + 8 * P)) / 2))
+    pairs = _pair_list(V)
+    idx_i = np.asarray([p[0] for p in pairs])
+    idx_j = np.asarray([p[1] for p in pairs])
+
+    T_rel = stage_a["T_rel"]
+    counts = stage_a["counts"]
+    valid = stage_a["valid"]
+
+    extr_tree, on_tree = jax.vmap(
+        lambda T, c, v: spanning_tree_poses_device(T, c, v, idx_i, idx_j, V)
+    )(T_rel, counts, valid)
+    # edges entering the averaging: successful pairs with enough inliers or
+    # on the tree (`bundle_adjust_io.py:185`)
+    edge_valid = valid & ((counts >= cfg.min_inliers) | on_tree)
+
+    cam_a = jnp.asarray(np.repeat(idx_i, K).astype(np.int32))
+    cam_b = jnp.asarray(np.repeat(idx_j, K).astype(np.int32))
+    return _global_stage_batch(
+        extr_tree,
+        jnp.asarray(idx_i.astype(np.int32)),
+        jnp.asarray(idx_j.astype(np.int32)),
+        T_rel,
+        edge_valid,
+        stage_a["x_i_n"].reshape(B, P * K, 2),
+        stage_a["x_j_n"].reshape(B, P * K, 2),
+        stage_a["conf_gated"].reshape(B, P * K),
+        cam_a,
+        cam_b,
+        cfg,
+    )
+
+
 def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
                                    cfg=MultiViewPipelineConfig(), profile=None):
     """Estimate absolute extrinsics for a batch of view tuples.
@@ -385,6 +445,8 @@ def multi_view_pose_pipeline_batch(kpts, intr, matches0, conf,
                 pose_valid.astype(np.float32).ravel(),
             ]),
             "T_rel": jnp.asarray(T_rel).reshape(B, P, 4, 4),
+            "counts": jnp.asarray(inlier_count).reshape(B, P),
+            "valid": jnp.asarray(pose_valid).reshape(B, P),
             "conf_gated": jnp.asarray(conf_gated).reshape(B, P, K),
             "x_i_n": normalize_keypoints(kpts_i, intr_i),
             "x_j_n": normalize_keypoints(kpts_j, intr_j),

@@ -26,6 +26,12 @@ def add_generic_arguments(parser):
     parser.add_argument("--sinkhorn_impl", type=str, default="xla",
                         choices=["xla", "mxu", "pallas"],
                         help="Sinkhorn kernel (mxu = scaling-domain matvecs)")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="SuperPoint-trunk / matcher matmul compute dtype "
+                             "(params and Sinkhorn stay f32). bfloat16 wins at "
+                             "batch on the MXU (BASELINE.md); float32 = "
+                             "reference semantics")
     return parser
 
 

@@ -139,3 +139,64 @@ class TestInitModes:
                     max_t = max(max_t, transl_angle_deg(T_gt[:3, 3], T_pred[:3, 3]))
             assert max_r < tol[mode][0], (mode, max_r)
             assert max_t < tol[mode][1], (mode, max_t)
+
+
+class TestDevicePipeline:
+    def test_device_tree_matches_host(self):
+        """`spanning_tree_poses_device` == host Prim's: same tree edge set and
+        extrinsics across random weights with deliberate ties, zero-count
+        edges, and invalid pairs (tie-break rank epsilon exercised)."""
+        import jax
+        import jax.numpy as jnp
+
+        from e2e_multi_view_matching_tpu.geom.lie import make_transform
+        from e2e_multi_view_matching_tpu.mvba.spanning_tree import (
+            spanning_tree_poses,
+            spanning_tree_poses_device,
+        )
+
+        rng = np.random.default_rng(0)
+        V = 5
+        pairs = [(i, j) for j in range(V) for i in range(j)]
+        P = len(pairs)
+        idx_i = np.asarray([p[0] for p in pairs])
+        idx_j = np.asarray([p[1] for p in pairs])
+        tree_fn = jax.jit(lambda T, c, v: spanning_tree_poses_device(
+            T, c, v, idx_i, idx_j, V))
+        for _ in range(40):
+            A = rng.normal(size=(P, 3, 3))
+            R = np.stack([np.linalg.qr(a)[0] for a in A])
+            R[:, :, 0] *= np.linalg.det(R)[:, None]
+            T_rel = np.asarray(make_transform(
+                jnp.asarray(R), jnp.asarray(rng.normal(size=(P, 3))))
+            ).astype(np.float32)
+            counts = rng.integers(0, 6, size=P).astype(np.int32)
+            valid = rng.random(P) > 0.25
+            rel = {pairs[p]: T_rel[p] for p in range(P) if valid[p]}
+            cnt = {pairs[p]: int(counts[p]) for p in range(P) if valid[p]}
+            extr_host, tree = spanning_tree_poses(V, rel, cnt)
+            extr_dev, on_tree = tree_fn(
+                jnp.asarray(T_rel), jnp.asarray(counts), jnp.asarray(valid))
+            assert {pairs[p] for p in range(P) if np.asarray(on_tree)[p]} == set(tree)
+            np.testing.assert_allclose(extr_host, np.asarray(extr_dev), atol=1e-5)
+
+    def test_device_pipeline_matches_host_tree_pipeline(self, rng):
+        """`multi_view_pose_device` (zero host hops, jitted end-to-end) ==
+        `multi_view_pose_pipeline_batch` (host spanning trees)."""
+        import jax
+        import jax.numpy as jnp
+
+        from e2e_multi_view_matching_tpu.mvba.pipeline import multi_view_pose_device
+
+        cases = [build_tuple_case(rng) for _ in range(2)]
+        kpts = np.stack([c[1] for c in cases])
+        matches0 = np.stack([c[2] for c in cases])
+        conf = np.stack([c[3] for c in cases])
+        intr = np.stack([np.tile(c[0].intr[0].astype(np.float32), (5, 1, 1))
+                         for c in cases])
+        cfg = MultiViewPipelineConfig()
+        extr_host = multi_view_pose_pipeline_batch(kpts, intr, matches0, conf, cfg)
+        fused = jax.jit(lambda k, i, m, c: multi_view_pose_device(k, i, m, c, cfg))
+        extr_dev = np.asarray(fused(jnp.asarray(kpts), jnp.asarray(intr),
+                                    jnp.asarray(matches0), jnp.asarray(conf)))
+        np.testing.assert_allclose(extr_host, extr_dev, atol=5e-4)
