@@ -79,11 +79,12 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
     """Benchmark loop over pairs; returns pose error list + failure count.
 
     Pairs sharing the same image shapes run `opt.eval_batch` at a time:
-    SuperPoint, the matcher, and the `w8pt*` pose solvers all dispatch once per
-    chunk (the reference's loop and the previous version here ran per pair --
-    `eval_pairs.py:210`). Differently-shaped pairs flush the current chunk, so
-    uniform-shape datasets (scannet 480x640) batch fully while variable-shape
-    ones degrade gracefully to smaller chunks. Host RANSAC stays per-pair.
+    SuperPoint -> matcher -> `w8pt*` pose solver compile as ONE program per
+    chunk with ONE packed device->host fetch (the reference's loop ran per
+    pair -- `eval_pairs.py:210`). Differently-shaped pairs flush the current
+    chunk, so uniform-shape datasets (scannet 480x640) batch fully while
+    variable-shape ones degrade gracefully to smaller chunks. Host RANSAC
+    stays per-pair.
     """
     # conf threshold: ransac modes filter at 0.02, weighted modes use all
     # (`eval_pairs.py:152`)
@@ -101,6 +102,22 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         descs = jnp.stack([sp0["descriptors"], sp1["descriptors"]], axis=1)
         out = matcher.apply(m_vars, kpts, scores, descs, image_size)
         return kpts, out["matches0"][:, 0], out["conf_scores"][:, 0]
+
+    @jax.jit
+    def infer_pose_batch(images0, images1, image_size, K0, K1):
+        """SuperPoint -> matcher -> batched w8pt-family pose in ONE program.
+
+        The w8pt eval modes are fully traceable, so the whole chunk runs as a
+        single device dispatch with a single packed fetch (the ransac modes
+        keep the split path -- host OpenCV sits in the middle)."""
+        kpts, matches, conf = infer_batch(images0, images1, image_size)
+        conf_mask = (matches >= 0) & (conf > match_threshold)
+        conf_w = jnp.where(conf_mask, conf, 0.0)
+        gather = jnp.clip(matches, 0, kpts.shape[2] - 1)
+        mk1 = jnp.take_along_axis(kpts[:, 1], gather[..., None], axis=1)
+        T_pred, valid_p = pose_w8pt_batch(kpts, mk1, K0, K1, conf_w)
+        return jnp.concatenate(
+            [jnp.ravel(T_pred), valid_p.astype(jnp.float32).ravel()])
 
     def pose_w8pt_batch(kpts, mk1, K0, K1, conf_w):
         """Batched w8pt / w8pt_ba / w8pt_irls_ba over a chunk."""
@@ -140,16 +157,26 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
             [[d["image0"].shape[:2], d["image1"].shape[:2]] for d in datas],
             dtype=jnp.float32,
         )
-        kpts_b, matches_b, conf_b = infer_batch(images0, images1, sizes)
-        kpts_b = np.asarray(kpts_b)
-        matches_b = np.asarray(matches_b)
-        conf_b = np.asarray(conf_b)
         K0 = np.stack([d["intr0"][:3, :3] for d in datas])
         K1 = np.stack([d["intr1"][:3, :3] for d in datas])
-        conf_mask = (matches_b >= 0) & (conf_b > match_threshold)
 
         rets = [None] * len(chunk)
-        if opt.eval_mode in ("ransac", "ransac_ba"):
+        if opt.eval_mode.startswith("w8pt"):
+            # fully on-device: one dispatch + one packed fetch per chunk
+            B = len(chunk)
+            packed = np.asarray(infer_pose_batch(
+                images0, images1, sizes, jnp.asarray(K0), jnp.asarray(K1)))
+            T_pred = packed[: B * 16].reshape(B, 4, 4)
+            valid_p = packed[B * 16:] > 0.5
+            for b in range(B):
+                if bool(valid_p[b]):
+                    rets[b] = (T_pred[b][:3, :3], T_pred[b][:3, 3], None)
+        else:
+            kpts_b, matches_b, conf_b = infer_batch(images0, images1, sizes)
+            kpts_b = np.asarray(kpts_b)
+            matches_b = np.asarray(matches_b)
+            conf_b = np.asarray(conf_b)
+            conf_mask = (matches_b >= 0) & (conf_b > match_threshold)
             for b in range(len(chunk)):
                 kpts, matches, conf = kpts_b[b], matches_b[b], conf_b[b]
                 mk0 = kpts[0][conf_mask[b]]
@@ -173,19 +200,6 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
                         T_np = np.asarray(T_ref[0])
                         ret = (T_np[:3, :3], T_np[:3, 3], inliers)
                 rets[b] = ret
-        else:  # w8pt family -- fully on-device, batched over the chunk
-            conf_w = np.where(conf_mask, conf_b, 0.0).astype(np.float32)
-            gather = np.clip(matches_b, 0, kpts_b.shape[2] - 1)
-            mk1 = np.take_along_axis(kpts_b[:, 1], gather[..., None], axis=1)
-            T_pred, valid_p = pose_w8pt_batch(
-                jnp.asarray(kpts_b), jnp.asarray(mk1), jnp.asarray(K0),
-                jnp.asarray(K1), jnp.asarray(conf_w),
-            )
-            T_pred = np.asarray(T_pred)
-            valid_p = np.asarray(valid_p)
-            for b in range(len(chunk)):
-                if bool(valid_p[b]):
-                    rets[b] = (T_pred[b][:3, :3], T_pred[b][:3, 3], None)
 
         for b, (i, data) in enumerate(zip(idxs, datas)):
             if rets[b] is None:
