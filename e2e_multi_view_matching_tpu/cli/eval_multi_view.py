@@ -52,6 +52,11 @@ def parse_args(argv=None):
                              "not validated on real descriptors")
     parser.add_argument("--eval_batch", type=int, default=8,
                         help="tuples evaluated per device dispatch")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each eval chunk over this many devices "
+                             "(data axis of a jax.sharding.Mesh; the fused "
+                             "program runs SPMD, XLA inserts no collectives "
+                             "until the final extrinsics gather)")
     parser.add_argument("--init_mode", type=str, default="w8pt_ba",
                         choices=["w8pt_ba", "ransac", "ransac_ba"],
                         help="per-pair relative-pose initialization "
@@ -94,6 +99,23 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
     pose_errors = ([], [], [])
     V = opt.tuple_size
     fuse = pipeline_cfg.init_mode == "w8pt_ba"
+    dp = max(1, getattr(opt, "data_parallel", 1))
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from e2e_multi_view_matching_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=dp, model_parallel=1)
+        shard_b = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        sp_vars = jax.device_put(sp_vars, rep)
+        m_vars = jax.device_put(m_vars, rep)
+
+        def place(x):
+            return jax.device_put(x, shard_b)
+    else:
+        def place(x):
+            return x
 
     @jax.jit
     def infer(sp_vars, m_vars, images, intr, image_size, rng):
@@ -125,19 +147,23 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         idxs = range(lo, min(lo + eval_batch, n))
         samples = [dataset[i] for i in idxs]
         B = len(samples)
-        images = jnp.asarray(np.stack([s["images"] for s in samples]))
+        # short final chunks pad up to a dp multiple (outputs sliced back)
+        padded = samples + [samples[-1]] * (-B % dp)
+        images = place(jnp.asarray(np.stack([s["images"] for s in padded])))
         H, W = images.shape[2:4]
-        image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
+        image_size = place(jnp.full((len(padded), V, 2), 0.0)
+                           .at[..., 0].set(H).at[..., 1].set(W))
         rng, key = jax.random.split(rng)
-        intr_b = jnp.asarray(np.stack([s["intr"][:, :3, :3] for s in samples]))
+        intr_b = place(jnp.asarray(
+            np.stack([s["intr"][:, :3, :3] for s in padded])))
         kpts, matches0, conf, extr_dev = infer(
             sp_vars, m_vars, images, intr_b, image_size, key)
         if extr_dev is not None:
-            extr_b = np.asarray(extr_dev)
+            extr_b = np.asarray(extr_dev)[:B]
         else:
             extr_b = multi_view_pose_pipeline_batch(
                 kpts, intr_b, matches0, conf, pipeline_cfg,
-            )
+            )[:B]
         for sample, extr in zip(samples, extr_b):
             for j in range(V):
                 for i in range(j):

@@ -194,3 +194,31 @@ def test_eval_multi_view_fails_loudly_without_tuple_csv(eval_env, tmp_path):
             "--max_tuples", "1", "--sinkhorn_iterations", "10",
             "--allow_random_superpoint",
         ])
+
+
+def test_eval_multi_view_data_parallel_matches_single(eval_env):
+    """--data_parallel 2 shards eval chunks over the mesh data axis; pose
+    AUC metrics must match the single-device run exactly (same program,
+    SPMD placement; includes a short final chunk exercising the padding)."""
+    data_root, ckpt_root, _ = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_multi_view
+    from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset
+
+    ds = MatchingTupleDataset(
+        os.path.join(data_root, "scannet"), split="test", tuple_size=3,
+        n_samples=3, shuffle_tuple=False,
+    )
+    tuple_csv = os.path.join(ckpt_root, "tuples_dp.csv")
+    ds.write_sampled_tuples(tuple_csv, n=3)
+
+    args = [
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--tuple_size", "3", "--exp_name", "testexp",
+        "--test_tuple_file", tuple_csv, "--max_tuples", "3",
+        "--sinkhorn_iterations", "10", "--allow_random_superpoint",
+        "--eval_batch", "2",
+    ]
+    r1 = eval_multi_view.main(args + ["--data_parallel", "1"])
+    r2 = eval_multi_view.main(args + ["--data_parallel", "2"])
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], atol=1e-3, err_msg=k)
