@@ -55,6 +55,9 @@ def parse_args(argv=None):
                              "not validated on real descriptors")
     parser.add_argument("--eval_batch", type=int, default=8,
                         help="same-shape pairs evaluated per device dispatch")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each w8pt-mode chunk over this many "
+                             "devices (data axis of a jax.sharding.Mesh)")
     parser.add_argument("--assets_dir", type=str, default=None,
                         help="directory holding the LoFTR/SuperGlue pair lists "
                              "(default: <repo>/assets)")
@@ -91,6 +94,22 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
     match_threshold = 0.02 if "ransac" in opt.eval_mode else 0.0
     pose_errors = {}
     cannot_compute = 0
+    dp = max(1, getattr(opt, "data_parallel", 1))
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from e2e_multi_view_matching_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=dp, model_parallel=1)
+        shard_b = NamedSharding(mesh, P("data"))
+        sp_vars = jax.device_put(sp_vars, NamedSharding(mesh, P()))
+        m_vars = jax.device_put(m_vars, NamedSharding(mesh, P()))
+
+        def place(x):
+            return jax.device_put(x, shard_b)
+    else:
+        def place(x):
+            return x
 
     @jax.jit
     def infer_batch(images0, images1, image_size):
@@ -151,23 +170,29 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
             return
         idxs = [c[0] for c in chunk]
         datas = [c[1] for c in chunk]
-        images0 = jnp.asarray(np.stack([d["image0"] for d in datas]))
-        images1 = jnp.asarray(np.stack([d["image1"] for d in datas]))
-        sizes = jnp.asarray(
-            [[d["image0"].shape[:2], d["image1"].shape[:2]] for d in datas],
+        w8pt = opt.eval_mode.startswith("w8pt")
+        # data_parallel shards the w8pt chunk; short chunks pad to a device
+        # multiple (outputs sliced back)
+        pdatas = datas + [datas[-1]] * ((-len(datas) % dp) if w8pt else 0)
+        images0 = place(jnp.asarray(np.stack([d["image0"] for d in pdatas])))
+        images1 = place(jnp.asarray(np.stack([d["image1"] for d in pdatas])))
+        sizes = place(jnp.asarray(
+            [[d["image0"].shape[:2], d["image1"].shape[:2]] for d in pdatas],
             dtype=jnp.float32,
-        )
-        K0 = np.stack([d["intr0"][:3, :3] for d in datas])
-        K1 = np.stack([d["intr1"][:3, :3] for d in datas])
+        ))
+        K0 = np.stack([d["intr0"][:3, :3] for d in pdatas])
+        K1 = np.stack([d["intr1"][:3, :3] for d in pdatas])
 
         rets = [None] * len(chunk)
-        if opt.eval_mode.startswith("w8pt"):
+        if w8pt:
             # fully on-device: one dispatch + one packed fetch per chunk
+            Bp = len(pdatas)
             B = len(chunk)
             packed = np.asarray(infer_pose_batch(
-                images0, images1, sizes, jnp.asarray(K0), jnp.asarray(K1)))
-            T_pred = packed[: B * 16].reshape(B, 4, 4)
-            valid_p = packed[B * 16:] > 0.5
+                images0, images1, sizes, place(jnp.asarray(K0)),
+                place(jnp.asarray(K1))))
+            T_pred = packed[: Bp * 16].reshape(Bp, 4, 4)
+            valid_p = packed[Bp * 16:] > 0.5
             for b in range(B):
                 if bool(valid_p[b]):
                     rets[b] = (T_pred[b][:3, :3], T_pred[b][:3, 3], None)

@@ -222,3 +222,22 @@ def test_eval_multi_view_data_parallel_matches_single(eval_env):
     r2 = eval_multi_view.main(args + ["--data_parallel", "2"])
     for k in r1:
         np.testing.assert_allclose(r1[k], r2[k], atol=1e-3, err_msg=k)
+
+
+def test_eval_pairs_data_parallel_matches_single(eval_env):
+    """--data_parallel 2 on the pair benchmark (w8pt mode, sharded fused
+    chunks incl. a padded short one) reproduces the single-device AUCs."""
+    data_root, ckpt_root, assets_root = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_pairs
+
+    args = [
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--exp_name", "testexp",
+        "--eval_mode", "w8pt_ba", "--max_pairs", "3",
+        "--sinkhorn_iterations", "10", "--assets_dir", assets_root,
+        "--allow_random_superpoint", "--eval_batch", "2",
+    ]
+    r1 = eval_pairs.main(args + ["--data_parallel", "1"])
+    r2 = eval_pairs.main(args + ["--data_parallel", "2"])
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], atol=1e-3, err_msg=k)
