@@ -165,7 +165,9 @@ def main():
         gnn_layers=gnn_layers, sinkhorn_iterations=100, conf_mlp=True,
         multi_frame_matching=True,
         attention_impl="pallas",  # fused in-kernel-masked attention
-        sinkhorn_impl="mxu",      # scaling-domain MXU Sinkhorn
+        sinkhorn_impl="pallas",   # VMEM-resident scaling-domain kernel
+        # (9.7x vs the XLA log scan, 3.5x vs the XLA scaling path at this
+        # shape -- BASELINE.md round-3 Sinkhorn shootout)
     )
     matcher = MultiViewMatcher(cfg)
     kpts = sp_out["keypoints"].reshape(B, V, K, 2)

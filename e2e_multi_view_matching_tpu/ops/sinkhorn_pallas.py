@@ -1,11 +1,28 @@
-"""Pallas TPU kernel for dustbin-augmented log-Sinkhorn.
+"""Pallas TPU kernels for dustbin-augmented Sinkhorn optimal transport.
 
 Why a kernel: the XLA scan in `ops/sinkhorn.py` streams the (K+1)^2 coupling
 matrix from HBM twice per iteration -- at the eval configuration (K = 1024,
 100 iterations, 10 pairs) that is ~8 GB of HBM traffic per tuple. One (K+1)^2
-f32 matrix is ~4.2 MB, comfortably VMEM-resident, so this kernel loads each
-pair's couplings once, runs every iteration out of VMEM, and writes the result
+f32 matrix is ~4.2 MB, comfortably VMEM-resident, so these kernels load each
+pair's couplings once, run every iteration out of VMEM, and write the result
 once: ~100x less HBM traffic on the dominant non-matmul op.
+
+Two algorithms share that structure:
+
+- `algorithm="log"`: the exact log-domain iteration (two logsumexp sweeps per
+  iteration). VMEM-resident but still VPU-exp-bound: ~2(K+1)^2 transcendentals
+  per iteration.
+- `algorithm="scaling"` (default): Schmitzer-stabilized scaling domain, the
+  Pallas twin of `ops.sinkhorn.log_sinkhorn_mxu`. The first iteration of the
+  first absorption block runs in log domain (bounds K = exp(coup+u+v) by the
+  column marginals, so extreme scores cannot overflow), then K stays resident
+  in VMEM and each iteration is two multiply-reduce sweeps -- no
+  transcendentals. Every `absorb_every` iterations the scalings are absorbed
+  multiplicatively (K *= a b^T, u += log a, v += log b), which keeps a/b near
+  1 and f32 exact; the couplings are re-fetched once at the end to emit the
+  output in full log-domain precision (coup + u + v), identical formula to the
+  XLA implementations. Iteration count rounds UP to a multiple of
+  `absorb_every`, matching `log_sinkhorn_mxu`.
 
 Grid: one program per (batch*pair) matrix. The dual potentials u, v live in
 VMEM scratch. Shapes need not be 128-aligned (Mosaic pads internally); the
@@ -13,8 +30,8 @@ dustbin row/column participates like any other row, exactly as in the XLA
 implementation.
 
 Gradients: `log_optimal_transport_pallas` carries a custom VJP that recomputes
-the backward pass through the XLA scan implementation (identical math), so the
-kernel is safe to use inside training losses too.
+the backward pass through the XLA scan implementation (identical fixed point),
+so the kernels are safe to use inside training losses too.
 """
 
 import functools
@@ -68,39 +85,158 @@ def _sinkhorn_kernel(coup_hbm, log_mu_ref, log_nu_ref, out_hbm, *, n_iters):
     )
 
 
-def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False):
+def _sinkhorn_scaling_kernel(
+    coup_hbm, log_mu_ref, log_nu_ref, out_hbm, *, n_iters, absorb_every
+):
+    """Stabilized scaling-domain Sinkhorn with K resident in one VMEM buffer.
+
+    The buffer holds the couplings for the hoisted exact iteration, is
+    overwritten by K = exp(coup + u + v), carries K multiplicatively across
+    absorption blocks, and is finally re-filled with the couplings (one extra
+    4 MB DMA) to emit coup + u + v. Peak VMEM: one matrix + elementwise temps.
+    """
+    log_mu = log_mu_ref[0, 0]  # (M,)
+    log_nu = log_nu_ref[0, 0]  # (N,)
+    b = pl.program_id(0)
+    n_absorb = -(-n_iters // absorb_every)
+    # 1e-30, NOT 1e-38: f32 subnormals flush to zero on TPU, and padded rows
+    # have mu = 0 and row-sum = 0, so a subnormal guard would yield 0/0 = NaN
+    tiny = jnp.asarray(1e-30, coup_hbm.dtype)
+
+    def run(buf, sem_in, sem_out):
+        copy_in = pltpu.make_async_copy(coup_hbm.at[b], buf, sem_in)
+        copy_in.start()
+        copy_in.wait()
+        coup = buf[:]
+        mu = jnp.exp(log_mu)
+        nu = jnp.exp(log_nu)
+
+        # Iteration 1, exact log domain: afterwards coup + u + v is
+        # column-normalized (entries <= log_nu < 0), so exponentiating below
+        # cannot overflow even for extreme scores (same hoisting as
+        # `log_sinkhorn_mxu`).
+        a1 = coup + jnp.zeros_like(log_nu)[None, :]
+        m1 = jnp.max(a1, axis=1)
+        u = log_mu - (jnp.log(jnp.sum(jnp.exp(a1 - m1[:, None]), axis=1)) + m1)
+        b1 = coup + u[:, None]
+        m0 = jnp.max(b1, axis=0)
+        v = log_nu - (jnp.log(jnp.sum(jnp.exp(b1 - m0[None, :]), axis=0)) + m0)
+        buf[:] = jnp.exp(coup + u[:, None] + v[None, :])
+
+        def scaling_iters(n, a, bb):
+            def inner(_, ab):
+                a, bb = ab
+                K = buf[:]
+                a = mu / (jnp.sum(K * bb[None, :], axis=1) + tiny)
+                bb = nu / (jnp.sum(K * a[:, None], axis=0) + tiny)
+                return a, bb
+
+            return jax.lax.fori_loop(n, absorb_every, inner, (a, bb))
+
+        def absorb(a, bb, u, v):
+            buf[:] = buf[:] * (a[:, None] * bb[None, :])
+            return u + jnp.log(a + tiny), v + jnp.log(bb + tiny)
+
+        # Block 1: the exact iteration above + (absorb_every - 1) scaling
+        # iterations; blocks 2..n_absorb: absorb_every scaling iterations each.
+        # In exact arithmetic this is the same u-then-v sequence as
+        # `log_sinkhorn`, absorb_every * n_absorb iterations total.
+        a, bb = scaling_iters(1, jnp.ones_like(mu), jnp.ones_like(nu))
+        u, v = absorb(a, bb, u, v)
+
+        def block(_, uv):
+            u, v = uv
+            a, bb = scaling_iters(0, jnp.ones_like(mu), jnp.ones_like(nu))
+            return absorb(a, bb, u, v)
+
+        u, v = jax.lax.fori_loop(0, n_absorb - 1, block, (u, v))
+
+        # Re-fetch the couplings to emit the log-domain output exactly as the
+        # XLA paths do (log of the multiplied-down K would lose the tail).
+        copy_in2 = pltpu.make_async_copy(coup_hbm.at[b], buf, sem_in)
+        copy_in2.start()
+        copy_in2.wait()
+        buf[:] = buf[:] + (u[:, None] + v[None, :])
+        copy_out = pltpu.make_async_copy(buf, out_hbm.at[b], sem_out)
+        copy_out.start()
+        copy_out.wait()
+
+    pl.run_scoped(
+        run,
+        pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+_PAD_NEG = -1e30  # effectively -inf without inf-inf NaN hazards
+
+
+def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False,
+                     algorithm="scaling", absorb_every=10):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, M, N = couplings.shape
-    kernel = functools.partial(_sinkhorn_kernel, n_iters=n_iters)
-    # marginals ride as (B, 1, M) so every block dimension is either full-size
+    # Pad both matrix dims to multiples of 128: the dustbin makes the shapes
+    # (K+1)^2, and unaligned DMA/scratch shapes fail Mosaic compilation (and
+    # would be internally masked anyway). Padded rows/columns carry coupling
+    # _PAD_NEG and marginal _PAD_NEG (mu = exp(-1e30) = 0), which makes them
+    # exactly inert: their K-entries are 0, their scalings collapse to 0, and
+    # real rows/columns never see a contribution from them.
+    Mp = -(-M // 128) * 128
+    Np = -(-N // 128) * 128
+    padded = (Mp != M) or (Np != N)
+    if padded:
+        couplings = jnp.pad(couplings, ((0, 0), (0, Mp - M), (0, Np - N)),
+                            constant_values=_PAD_NEG)
+        log_mu = jnp.pad(log_mu, ((0, 0), (0, Mp - M)),
+                         constant_values=_PAD_NEG)
+        log_nu = jnp.pad(log_nu, ((0, 0), (0, Np - N)),
+                         constant_values=_PAD_NEG)
+    if algorithm == "scaling":
+        kernel = functools.partial(
+            _sinkhorn_scaling_kernel, n_iters=n_iters, absorb_every=absorb_every
+        )
+    else:
+        kernel = functools.partial(_sinkhorn_kernel, n_iters=n_iters)
+    # marginals ride as (B, 1, Mp) so every block dimension is either full-size
     # or trivially 1 (the Mosaic sublane/lane tiling constraint)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, M, N), couplings.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, Np), couplings.dtype),
         interpret=interpret,
+        # raise Mosaic's default 16 MB VMEM cap (v5e has 128 MB physical):
+        # the resident matrix is Mp*Np*4 bytes -- 18.9 MB at K=2048
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(couplings, log_mu[:, None, :], log_nu[:, None, :])
+    return out[:, :M, :N] if padded else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=None,
+                                 algorithm="scaling"):
     """Drop-in Pallas replacement for `ops.sinkhorn.log_optimal_transport`.
 
     Args:
         scores: (B, M, N); alpha: scalar dustbin score; n_iters: static.
         interpret: run the kernel in interpreter mode (CPU tests).
+        algorithm: "scaling" (stabilized scaling domain, no per-iteration
+            transcendentals; rounds n_iters UP to a multiple of 10, like
+            `log_sinkhorn_mxu`) or "log" (exact log-domain iteration).
     Returns:
         (B, M+1, N+1) log assignment.
     """
     couplings, log_mu, log_nu, norm = _augment(scores, alpha)
-    Z = _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=interpret)
+    Z = _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters,
+                         interpret=interpret, algorithm=algorithm)
     return Z - norm
 
 
@@ -133,16 +269,20 @@ def _augment(scores, alpha):
     )
 
 
-def _fwd(scores, alpha, n_iters, interpret):
-    out = log_optimal_transport_pallas(scores, alpha, n_iters, interpret)
+def _fwd(scores, alpha, n_iters, interpret, algorithm):
+    out = log_optimal_transport_pallas(scores, alpha, n_iters, interpret,
+                                       algorithm)
     return out, (scores, alpha)
 
 
-def _bwd(n_iters, interpret, residuals, g):
+def _bwd(n_iters, interpret, algorithm, residuals, g):
     scores, alpha = residuals
-    # identical math through the XLA scan; its VJP is the kernel's VJP
+    # identical math through the XLA scan; its VJP is the kernel's VJP. The
+    # scaling algorithm rounds the forward count UP to a multiple of 10 --
+    # differentiate the same effective fixed point.
+    eff = -(-n_iters // 10) * 10 if algorithm == "scaling" else n_iters
     _, vjp = jax.vjp(
-        lambda s, a: sinkhorn_xla.log_optimal_transport(s, a, n_iters), scores, alpha
+        lambda s, a: sinkhorn_xla.log_optimal_transport(s, a, eff), scores, alpha
     )
     return vjp(g)
 

@@ -17,9 +17,11 @@ def add_generic_arguments(parser):
     parser.add_argument("--tuple_size", type=int, default=5,
                         help="number of images to be matched")
     # TPU kernel selection (no reference analog): "xla" keeps the compiler
-    # paths; "pallas" attention / "mxu" Sinkhorn are the measured-faster
-    # hand kernels (BASELINE.md), opt-in because they trade bitwise XLA
-    # agreement (~4e-4 attention, ~1e-5 Sinkhorn) for speed.
+    # paths; "pallas" attention / "pallas" Sinkhorn (VMEM-resident scaling
+    # domain, 9.7x the XLA log scan at the eval shape -- BASELINE.md round 3;
+    # "mxu" is the XLA scaling-domain middle ground) are the measured-faster
+    # hand kernels, opt-in because they trade bitwise XLA agreement
+    # (~4e-4 attention, ~2e-4 Sinkhorn probabilities) for speed.
     parser.add_argument("--attention_impl", type=str, default="xla",
                         choices=["xla", "pallas"],
                         help="matcher attention kernel (pallas = fused masked)")

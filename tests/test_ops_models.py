@@ -101,6 +101,60 @@ class TestSinkhorn:
         np.testing.assert_allclose(np.exp(np.asarray(Z_mxu)),
                                    np.exp(np.asarray(Z_ref)), atol=5e-4)
 
+    def test_pallas_scaling_kernel_matches_xla(self, rng):
+        """The VMEM-resident scaling-domain Pallas kernel reproduces both XLA
+        paths (probabilities; rounds the count up to a multiple of 10 like
+        impl='mxu') and its VJP routes through the log-domain scan."""
+        from e2e_multi_view_matching_tpu.ops.sinkhorn_pallas import (
+            log_optimal_transport_pallas,
+        )
+
+        scores = jnp.asarray(rng.normal(size=(3, 33, 29)).astype(np.float32) * 4)
+        for iters in (10, 30, 100):
+            Z_ref = log_optimal_transport(scores, 1.0, iters, impl="mxu")
+            Z_pal = log_optimal_transport_pallas(scores, 1.0, iters,
+                                                 interpret=True)
+            np.testing.assert_allclose(np.exp(np.asarray(Z_pal)),
+                                       np.exp(np.asarray(Z_ref)), atol=2e-4)
+
+        # extreme scores: the hoisted exact first iteration bounds K
+        extreme = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32) * 30)
+        Z_pal = log_optimal_transport_pallas(extreme, 1.0, 50, interpret=True)
+        Z_ref = log_optimal_transport(extreme, 1.0, 50)
+        assert np.all(np.isfinite(np.asarray(Z_pal)))
+        np.testing.assert_allclose(np.exp(np.asarray(Z_pal)),
+                                   np.exp(np.asarray(Z_ref)), atol=5e-4)
+
+        # gradient: 25 rounds up to 30 -- must match the 30-iteration VJP
+        def loss(impl_fn, iters):
+            def f(s):
+                Z = impl_fn(s, iters)
+                return -jnp.mean(jnp.diagonal(Z[0, :-1, :-1]))
+            return f
+
+        g_pal = jax.grad(loss(
+            lambda s, i: log_optimal_transport_pallas(s, 1.0, i, True), 25))(scores)
+        g_ref = jax.grad(loss(
+            lambda s, i: log_optimal_transport(s, 1.0, i), 30))(scores)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   atol=1e-5)
+
+    def test_pallas_log_kernel_matches_xla(self, rng):
+        """The exact log-domain Pallas kernel (algorithm='log') is
+        bit-comparable to the XLA scan at every iteration count."""
+        from e2e_multi_view_matching_tpu.ops.sinkhorn_pallas import (
+            log_optimal_transport_pallas,
+        )
+
+        scores = jnp.asarray(rng.normal(size=(2, 17, 23)).astype(np.float32) * 4)
+        for iters in (5, 15):
+            Z_ref = log_optimal_transport(scores, 1.0, iters)
+            Z_pal = log_optimal_transport_pallas(scores, 1.0, iters,
+                                                 interpret=True,
+                                                 algorithm="log")
+            np.testing.assert_allclose(np.asarray(Z_pal), np.asarray(Z_ref),
+                                       atol=1e-5)
+
 
 class TestAttention:
     def test_identity_value_passthrough(self, rng):
@@ -289,15 +343,19 @@ class TestMatcher:
         for name, kw in (("xla", {}),
                          ("pallas", dict(attention_impl="pallas",
                                          sinkhorn_impl="pallas"))):
+            # 20 iterations: a multiple of the scaling kernel's absorb_every,
+            # so both impls run the same effective iteration count
             cfg = MatcherConfig(gnn_layers=default_gnn_layers(2, 1),
-                                sinkhorn_iterations=15, **kw)
+                                sinkhorn_iterations=20, **kw)
             model = MultiViewMatcher(cfg)
             variables = model.init(jax.random.PRNGKey(0), kpts, scores, descs,
                                    image_size)
             outs[name] = model.apply(variables, kpts, scores, descs, image_size)
+        # the Pallas Sinkhorn runs in the scaling domain: transport-plan
+        # probabilities must agree tightly (tail log values may differ)
         np.testing.assert_allclose(
-            np.asarray(outs["xla"]["log_assignment"]),
-            np.asarray(outs["pallas"]["log_assignment"]), atol=1e-4,
+            np.exp(np.asarray(outs["xla"]["log_assignment"])),
+            np.exp(np.asarray(outs["pallas"]["log_assignment"])), atol=2e-4,
         )
 
     def test_log_assignment_is_valid_distribution(self):

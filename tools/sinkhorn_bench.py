@@ -35,7 +35,7 @@ from e2e_multi_view_matching_tpu.ops.sinkhorn import (  # noqa: E402
 from e2e_multi_view_matching_tpu.ops.sinkhorn_pallas import (  # noqa: E402
     log_optimal_transport_pallas)
 
-B, ITERS = 10, 100
+ITERS = 100
 
 
 def fetch_scalar(x):
@@ -68,13 +68,15 @@ print(f"dispatch overhead: {OVH:.1f} ms", flush=True)
 key = jax.random.PRNGKey(0)
 alpha = jnp.asarray(1.0)
 
-for K in (1024, 2048):
+for B, K in ((10, 1024), (10, 2048), (80, 1024)):
     scores = jax.random.normal(key, (B, K, K), jnp.float32)
 
     impls = {
         "xla": lambda s: log_optimal_transport(s, alpha, ITERS, impl="xla"),
         "mxu": lambda s: log_optimal_transport(s, alpha, ITERS, impl="mxu"),
         "pallas": lambda s: log_optimal_transport_pallas(s, alpha, ITERS),
+        "pal_log": lambda s: log_optimal_transport_pallas(
+            s, alpha, ITERS, algorithm="log"),
     }
     base = {}
     for name, f in impls.items():
@@ -97,7 +99,7 @@ for K in (1024, 2048):
         print(f"K={K} {name:7s}: {t1:7.1f} ms raw | {t1 - OVH:7.1f} ms -ovh | "
               f"4x-in-jit {t4 / 4:7.1f} ms/op", flush=True)
     if "xla" in base:
-        for name in ("mxu", "pallas"):
+        for name in ("mxu", "pallas", "pal_log"):
             if name in base:
                 sp = (base["xla"] - OVH) / max(base[name] - OVH, 1e-9)
                 print(f"K={K} {name} speedup vs xla (ovh-subtracted): {sp:.2f}x",
