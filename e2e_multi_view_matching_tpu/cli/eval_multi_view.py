@@ -143,7 +143,13 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
     rng = jax.random.PRNGKey(0)
     n = len(dataset) if opt.max_tuples is None else min(opt.max_tuples, len(dataset))
     eval_batch = max(1, getattr(opt, "eval_batch", 1))
-    for lo in range(0, n, eval_batch):
+
+    def dispatch(lo):
+        """Enqueue one chunk; returns (samples, device handle or host array).
+
+        JAX dispatch is asynchronous: keeping one chunk in flight overlaps the
+        tunnel's ~25 ms host round trip with device compute (+8% measured
+        end-to-end throughput, `tools/fused_pipeline_probe.py`)."""
         idxs = range(lo, min(lo + eval_batch, n))
         samples = [dataset[i] for i in idxs]
         B = len(samples)
@@ -153,17 +159,24 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         H, W = images.shape[2:4]
         image_size = place(jnp.full((len(padded), V, 2), 0.0)
                            .at[..., 0].set(H).at[..., 1].set(W))
+        nonlocal rng
         rng, key = jax.random.split(rng)
         intr_b = place(jnp.asarray(
             np.stack([s["intr"][:, :3, :3] for s in padded])))
         kpts, matches0, conf, extr_dev = infer(
             sp_vars, m_vars, images, intr_b, image_size, key)
-        if extr_dev is not None:
-            extr_b = np.asarray(extr_dev)[:B]
-        else:
-            extr_b = multi_view_pose_pipeline_batch(
-                kpts, intr_b, matches0, conf, pipeline_cfg,
-            )[:B]
+        if extr_dev is None:  # unfused init modes: host pipeline, synchronous
+            extr_dev = multi_view_pose_pipeline_batch(
+                kpts, intr_b, matches0, conf, pipeline_cfg)
+        return samples, extr_dev
+
+    chunk_starts = list(range(0, n, eval_batch))
+    in_flight = dispatch(chunk_starts[0]) if chunk_starts else None
+    for ci, lo in enumerate(chunk_starts):
+        samples, extr_dev = in_flight
+        if ci + 1 < len(chunk_starts):  # keep the next chunk in flight
+            in_flight = dispatch(chunk_starts[ci + 1])
+        extr_b = np.asarray(extr_dev)[:len(samples)]
         for sample, extr in zip(samples, extr_b):
             for j in range(V):
                 for i in range(j):

@@ -164,10 +164,13 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
             T_pred = jnp.where(ok[:, None, None], T_ba, T_w8)
         return T_pred, info.valid
 
-    def flush(chunk):
-        nonlocal cannot_compute
-        if not chunk:
-            return
+    def dispatch(chunk):
+        """Enqueue one chunk's device work; no host fetch yet.
+
+        JAX dispatch is asynchronous, so keeping one dispatched chunk in
+        flight while the previous chunk's results are fetched/post-processed
+        overlaps the tunnel's ~25 ms round trip (and the host RANSAC loop)
+        with device compute (`tools/fused_pipeline_probe.py`)."""
         idxs = [c[0] for c in chunk]
         datas = [c[1] for c in chunk]
         w8pt = opt.eval_mode.startswith("w8pt")
@@ -182,27 +185,35 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         ))
         K0 = np.stack([d["intr0"][:3, :3] for d in pdatas])
         K1 = np.stack([d["intr1"][:3, :3] for d in pdatas])
+        if w8pt:
+            handle = infer_pose_batch(
+                images0, images1, sizes, place(jnp.asarray(K0)),
+                place(jnp.asarray(K1)))
+        else:
+            handle = infer_batch(images0, images1, sizes)
+        return idxs, datas, len(pdatas), K0, K1, handle
 
-        rets = [None] * len(chunk)
+    def collect(state):
+        nonlocal cannot_compute
+        idxs, datas, Bp, K0, K1, handle = state
+        w8pt = opt.eval_mode.startswith("w8pt")
+        rets = [None] * len(datas)
         if w8pt:
             # fully on-device: one dispatch + one packed fetch per chunk
-            Bp = len(pdatas)
-            B = len(chunk)
-            packed = np.asarray(infer_pose_batch(
-                images0, images1, sizes, place(jnp.asarray(K0)),
-                place(jnp.asarray(K1))))
+            B = len(datas)
+            packed = np.asarray(handle)
             T_pred = packed[: Bp * 16].reshape(Bp, 4, 4)
             valid_p = packed[Bp * 16:] > 0.5
             for b in range(B):
                 if bool(valid_p[b]):
                     rets[b] = (T_pred[b][:3, :3], T_pred[b][:3, 3], None)
         else:
-            kpts_b, matches_b, conf_b = infer_batch(images0, images1, sizes)
+            kpts_b, matches_b, conf_b = handle
             kpts_b = np.asarray(kpts_b)
             matches_b = np.asarray(matches_b)
             conf_b = np.asarray(conf_b)
             conf_mask = (matches_b >= 0) & (conf_b > match_threshold)
-            for b in range(len(chunk)):
+            for b in range(len(datas)):
                 kpts, matches, conf = kpts_b[b], matches_b[b], conf_b[b]
                 mk0 = kpts[0][conf_mask[b]]
                 mk1 = kpts[1][np.clip(matches, 0, len(kpts[1]) - 1)][conf_mask[b]]
@@ -239,6 +250,17 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
 
     n = len(dataset) if opt.max_pairs is None else min(opt.max_pairs, len(dataset))
     eval_batch = max(1, getattr(opt, "eval_batch", 1))
+    in_flight = None  # one dispatched chunk kept in flight (depth-2 pipeline)
+
+    def flush(chunk):
+        nonlocal in_flight
+        if not chunk:
+            return
+        state = dispatch(chunk)
+        if in_flight is not None:
+            collect(in_flight)
+        in_flight = state
+
     chunk = []
     chunk_shapes = None
     for i in range(n):
@@ -250,6 +272,8 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         chunk_shapes = shapes
         chunk.append((i, data))
     flush(chunk)
+    if in_flight is not None:
+        collect(in_flight)
     return [pose_errors[i] for i in range(n)], cannot_compute
 
 

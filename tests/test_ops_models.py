@@ -181,6 +181,56 @@ class TestAttention:
         )
 
 
+class TestFusedCrossAttention:
+    """The Pallas chunked cross-attention kernel (own-view key blocks never
+    loaded) must reproduce the masked XLA reference exactly, at shapes that
+    trigger the chunked path (n_kpts % block_q == 0)."""
+
+    def _check(self, V, K, D, heads, rng, dtype=np.float32, atol=2e-5):
+        from e2e_multi_view_matching_tpu.ops.attention_pallas import (
+            fused_view_attention,
+        )
+
+        B, S = 2, V * K
+        q = jnp.asarray(rng.normal(size=(B, S, D)).astype(dtype))
+        k = jnp.asarray(rng.normal(size=(B, S, D)).astype(dtype))
+        v = jnp.asarray(rng.normal(size=(B, S, D)).astype(dtype))
+        out = fused_view_attention(q, k, v, heads, V, K, mode="cross")
+        ref = multi_head_attention(q, k, v, heads,
+                                   mask=cross_view_mask(V, K))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+    def test_single_tile_per_view(self, rng):
+        # K == block_q (256): one key chunk per view
+        self._check(V=3, K=256, D=32, heads=2, rng=rng)
+
+    def test_multiple_tiles_per_view(self, rng):
+        # K = 2 * block_q: query tiles within a view share the skip index
+        self._check(V=2, K=512, D=16, heads=1, rng=rng)
+
+    def test_grads_match_reference(self, rng):
+        from e2e_multi_view_matching_tpu.ops.attention_pallas import (
+            fused_view_attention,
+        )
+
+        V, K, D, heads = 2, 256, 16, 2
+        q = jnp.asarray(rng.normal(size=(1, V * K, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, V * K, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, V * K, D)).astype(np.float32))
+
+        def f_pallas(q, k, v):
+            return fused_view_attention(q, k, v, heads, V, K, mode="cross").sum()
+
+        def f_ref(q, k, v):
+            return multi_head_attention(
+                q, k, v, heads, mask=cross_view_mask(V, K)).sum()
+
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 class TestSuperPoint:
     def test_forward_static_shapes(self, rng):
         cfg = SuperPointConfig(max_keypoints=64, remove_borders=8, fill_with_random_keypoints=True)

@@ -43,7 +43,7 @@ GNN = default_gnn_layers(7, 3)
 key = jax.random.PRNGKey(0)
 
 
-def run(B, dtype):
+def run(B, dtype, impl="xla"):
     rng = np.random.default_rng(0)
     sp = SuperPoint(SuperPointConfig(
         nms_radius=4, keypoint_threshold=1e-3, max_keypoints=K,
@@ -53,6 +53,7 @@ def run(B, dtype):
     matcher = MultiViewMatcher(MatcherConfig(
         gnn_layers=GNN, sinkhorn_iterations=100, conf_mlp=True,
         multi_frame_matching=True, compute_dtype=dtype,
+        attention_impl=impl, sinkhorn_impl=impl,
     ))
     opt = types.SimpleNamespace(
         pose_loss=True, rot_weight=726.0, trans_weight=244.0,
@@ -88,20 +89,23 @@ def run(B, dtype):
     # fwd FLOPs: frozen SuperPoint fwd only; matcher fwd+bwd ~ 3x fwd
     fl = superpoint_flops(B * V, H, W) + 3 * matcher_flops(B, V, K, D, GNN)
     mfu = fl / t / V5E_PEAK_FLOPS
-    print(f"B={B:2d} {dtype:8s}: {t * 1e3:7.1f} ms/step = {B / t:6.2f} tuples/s, "
+    print(f"B={B:2d} {dtype:8s} {impl:6s}: {t * 1e3:7.1f} ms/step = "
+          f"{B / t:6.2f} tuples/s, "
           f"MFU {mfu * 100:4.1f}%  (loss {float(np.asarray(metrics['train_loss'])):.2f}, "
           f"compile {t_compile:.0f}s)", flush=True)
     return B / t
 
 
 if __name__ == "__main__":
-    configs = [(B, dt) for dt in ("float32", "bfloat16") for B in (2, 8, 16)]
-    if len(sys.argv) > 1:  # e.g. "16:float32,2:bfloat16"
-        configs = [(int(s.split(":")[0]), s.split(":")[1])
-                   for s in sys.argv[1].split(",")]
-    for B, dtype in configs:
+    configs = [(B, dt, "xla") for dt in ("float32", "bfloat16")
+               for B in (2, 8, 16)]
+    if len(sys.argv) > 1:  # e.g. "16:float32,2:bfloat16:pallas"
+        configs = [tuple(s.split(":")) for s in sys.argv[1].split(",")]
+        configs = [(int(c[0]), c[1], c[2] if len(c) > 2 else "xla")
+                   for c in configs]
+    for B, dtype, impl in configs:
         try:
-            run(B, dtype)
+            run(B, dtype, impl)
         except Exception as e:
-            print(f"B={B:2d} {dtype:8s}: FAILED ({type(e).__name__}: "
+            print(f"B={B:2d} {dtype:8s} {impl:6s}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:120]})", flush=True)
