@@ -278,6 +278,10 @@ def main():
     matcher_t = MultiViewMatcher(MatcherConfig(
         gnn_layers=gnn_layers, sinkhorn_iterations=100, conf_mlp=True,
         multi_frame_matching=True,
+        # round 4: REAL backward kernels (flash-attention bwd + VMEM-resident
+        # Sinkhorn reverse sweep) make pallas the fastest training config too
+        # (B=8 bf16: 383 -> 257 ms/step; BASELINE.md round-4 train matrix)
+        attention_impl="pallas", sinkhorn_impl="pallas",
     ))
     opt = types.SimpleNamespace(
         pose_loss=True, rot_weight=726.0, trans_weight=244.0,

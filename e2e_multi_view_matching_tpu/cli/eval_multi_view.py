@@ -29,7 +29,11 @@ from e2e_multi_view_matching_tpu.mvba.pipeline import (
 )
 from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint, load_config
 from e2e_multi_view_matching_tpu.train.step import TrainState
-from e2e_multi_view_matching_tpu.utils.config import add_generic_arguments, get_exp_dir
+from e2e_multi_view_matching_tpu.utils.config import (
+    add_generic_arguments,
+    get_exp_dir,
+    resolve_kernel_impls,
+)
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
 log = logging.getLogger("eval_multi_view")
@@ -199,7 +203,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
 
 
 def main(argv=None):
-    opt = parse_args(argv)
+    opt = resolve_kernel_impls(parse_args(argv))
     exp_dir, _ = get_exp_dir(opt.checkpoint_dir, opt.exp_name)
     train_cfg = load_config(exp_dir)
     # inherit superpoint/GNN params from the training config (`eval_multi_view.py:120-129`)

@@ -31,7 +31,11 @@ from e2e_multi_view_matching_tpu.models.superpoint import SuperPoint, SuperPoint
 from e2e_multi_view_matching_tpu.pose.two_view_ba import bundle_adjust_two_view
 from e2e_multi_view_matching_tpu.train.checkpoint import load_checkpoint
 from e2e_multi_view_matching_tpu.train.step import TrainState
-from e2e_multi_view_matching_tpu.utils.config import add_generic_arguments, get_exp_dir
+from e2e_multi_view_matching_tpu.utils.config import (
+    add_generic_arguments,
+    get_exp_dir,
+    resolve_kernel_impls,
+)
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
 log = logging.getLogger("eval_pairs")
@@ -54,7 +58,14 @@ def parse_args(argv=None):
                              "lossless on the synthetic quality gate only -- "
                              "not validated on real descriptors")
     parser.add_argument("--eval_batch", type=int, default=8,
-                        help="same-shape pairs evaluated per device dispatch")
+                        help="same-bucket pairs evaluated per device dispatch")
+    parser.add_argument("--shape_bucket", type=int, default=128,
+                        help="pad images up to multiples of this so "
+                             "variable-shape datasets (megadepth/yfcc resize "
+                             "to long side 1600 -> dozens of exact shapes) "
+                             "compile O(buckets) programs with full chunks "
+                             "instead of O(shapes); SuperPoint masks the pad "
+                             "region before NMS. 0 = exact-shape chunks")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="shard each w8pt-mode chunk over this many "
                              "devices (data axis of a jax.sharding.Mesh)")
@@ -79,15 +90,17 @@ def relative_pose_errors(T_gt, R, t):
 
 
 def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
-    """Benchmark loop over pairs; returns pose error list + failure count.
+    """Benchmark loop over pairs; returns (errors, failures, n_signatures).
 
-    Pairs sharing the same image shapes run `opt.eval_batch` at a time:
-    SuperPoint -> matcher -> `w8pt*` pose solver compile as ONE program per
-    chunk with ONE packed device->host fetch (the reference's loop ran per
-    pair -- `eval_pairs.py:210`). Differently-shaped pairs flush the current
-    chunk, so uniform-shape datasets (scannet 480x640) batch fully while
-    variable-shape ones degrade gracefully to smaller chunks. Host RANSAC
-    stays per-pair.
+    Pairs are grouped into SHAPE BUCKETS (dims rounded up to multiples of
+    `opt.shape_bucket`, images zero-padded onto the bucket canvas, SuperPoint
+    masking scores beyond each image's true extent): same-bucket pairs run
+    `opt.eval_batch` at a time as ONE compiled program with ONE packed
+    device->host fetch (the reference's loop ran per pair --
+    `eval_pairs.py:210`). Variable-shape datasets (megadepth/yfcc, aspect-
+    preserving resize to long side 1600) therefore compile O(bucket pairs)
+    programs with full chunks instead of O(exact shapes) with chunks of ~1.
+    Host RANSAC stays per-pair.
     """
     # conf threshold: ransac modes filter at 0.02, weighted modes use all
     # (`eval_pairs.py:152`)
@@ -112,10 +125,15 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
             return x
 
     @jax.jit
-    def infer_batch(images0, images1, image_size):
-        """(B, H0, W0, 1) x (B, H1, W1, 1) -> per-pair matcher outputs."""
-        sp0 = superpoint.apply(sp_vars, images0)
-        sp1 = superpoint.apply(sp_vars, images1)
+    def infer_batch(images0, images1, image_size, valid0, valid1):
+        """(B, H0, W0, 1) x (B, H1, W1, 1) -> per-pair matcher outputs.
+
+        `valid0/1` are the per-image true (h, w) extents; images are padded
+        with zeros up to the chunk's bucket shape and SuperPoint masks scores
+        beyond the extent. The matcher normalizes keypoints by the TRUE
+        image_size, so bucketing is invisible downstream."""
+        sp0 = superpoint.apply(sp_vars, images0, valid0)
+        sp1 = superpoint.apply(sp_vars, images1, valid1)
         kpts = jnp.stack([sp0["keypoints"], sp1["keypoints"]], axis=1)
         scores = jnp.stack([sp0["scores"], sp1["scores"]], axis=1)
         descs = jnp.stack([sp0["descriptors"], sp1["descriptors"]], axis=1)
@@ -123,13 +141,14 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         return kpts, out["matches0"][:, 0], out["conf_scores"][:, 0]
 
     @jax.jit
-    def infer_pose_batch(images0, images1, image_size, K0, K1):
+    def infer_pose_batch(images0, images1, image_size, valid0, valid1, K0, K1):
         """SuperPoint -> matcher -> batched w8pt-family pose in ONE program.
 
         The w8pt eval modes are fully traceable, so the whole chunk runs as a
         single device dispatch with a single packed fetch (the ransac modes
         keep the split path -- host OpenCV sits in the middle)."""
-        kpts, matches, conf = infer_batch(images0, images1, image_size)
+        kpts, matches, conf = infer_batch(images0, images1, image_size,
+                                          valid0, valid1)
         conf_mask = (matches >= 0) & (conf > match_threshold)
         conf_w = jnp.where(conf_mask, conf, 0.0)
         gather = jnp.clip(matches, 0, kpts.shape[2] - 1)
@@ -164,7 +183,9 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
             T_pred = jnp.where(ok[:, None, None], T_ba, T_w8)
         return T_pred, info.valid
 
-    def dispatch(chunk):
+    n_signatures = set()  # distinct compiled-program signatures (stats)
+
+    def dispatch(chunk, buckets):
         """Enqueue one chunk's device work; no host fetch yet.
 
         JAX dispatch is asynchronous, so keeping one dispatched chunk in
@@ -174,11 +195,31 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         idxs = [c[0] for c in chunk]
         datas = [c[1] for c in chunk]
         w8pt = opt.eval_mode.startswith("w8pt")
-        # data_parallel shards the w8pt chunk; short chunks pad to a device
-        # multiple (outputs sliced back)
-        pdatas = datas + [datas[-1]] * ((-len(datas) % dp) if w8pt else 0)
-        images0 = place(jnp.asarray(np.stack([d["image0"] for d in pdatas])))
-        images1 = place(jnp.asarray(np.stack([d["image1"] for d in pdatas])))
+        # pad every chunk to the full eval_batch (a device multiple) so each
+        # bucket pair compiles exactly ONE program regardless of tail length;
+        # padded slots repeat the last pair and are sliced away on collect
+        eval_batch = max(1, getattr(opt, "eval_batch", 1))
+        target = -(-eval_batch // dp) * dp
+        pdatas = datas + [datas[-1]] * (target - len(datas))
+        n_signatures.add((buckets, target))
+
+        def canvas(img, bucket):
+            h, w = img.shape[:2]
+            bh, bw = bucket
+            if (h, w) == (bh, bw):
+                return img
+            out = np.zeros((bh, bw) + img.shape[2:], img.dtype)
+            out[:h, :w] = img
+            return out
+
+        images0 = place(jnp.asarray(
+            np.stack([canvas(d["image0"], buckets[0]) for d in pdatas])))
+        images1 = place(jnp.asarray(
+            np.stack([canvas(d["image1"], buckets[1]) for d in pdatas])))
+        valid0 = place(jnp.asarray(
+            [d["image0"].shape[:2] for d in pdatas], dtype=jnp.int32))
+        valid1 = place(jnp.asarray(
+            [d["image1"].shape[:2] for d in pdatas], dtype=jnp.int32))
         sizes = place(jnp.asarray(
             [[d["image0"].shape[:2], d["image1"].shape[:2]] for d in pdatas],
             dtype=jnp.float32,
@@ -187,10 +228,10 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         K1 = np.stack([d["intr1"][:3, :3] for d in pdatas])
         if w8pt:
             handle = infer_pose_batch(
-                images0, images1, sizes, place(jnp.asarray(K0)),
-                place(jnp.asarray(K1)))
+                images0, images1, sizes, valid0, valid1,
+                place(jnp.asarray(K0)), place(jnp.asarray(K1)))
         else:
-            handle = infer_batch(images0, images1, sizes)
+            handle = infer_batch(images0, images1, sizes, valid0, valid1)
         return idxs, datas, len(pdatas), K0, K1, handle
 
     def collect(state):
@@ -250,35 +291,46 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
 
     n = len(dataset) if opt.max_pairs is None else min(opt.max_pairs, len(dataset))
     eval_batch = max(1, getattr(opt, "eval_batch", 1))
+    bucket = max(0, getattr(opt, "shape_bucket", 128))
     in_flight = None  # one dispatched chunk kept in flight (depth-2 pipeline)
 
-    def flush(chunk):
+    def bucket_of(shape):
+        if bucket <= 0:
+            return tuple(shape[:2])
+        return tuple(-(-d // bucket) * bucket for d in shape[:2])
+
+    def flush(chunk, buckets):
         nonlocal in_flight
         if not chunk:
             return
-        state = dispatch(chunk)
+        state = dispatch(chunk, buckets)
         if in_flight is not None:
             collect(in_flight)
         in_flight = state
 
-    chunk = []
-    chunk_shapes = None
+    # one open chunk per bucket pair: same-bucket pairs coalesce into full
+    # chunks even when differently-shaped pairs interleave in dataset order
+    # (megadepth/yfcc), so compile count is O(bucket pairs), not O(shapes)
+    open_chunks = {}
     for i in range(n):
         data = dataset[i]
-        shapes = (data["image0"].shape, data["image1"].shape)
-        if chunk and (shapes != chunk_shapes or len(chunk) >= eval_batch):
-            flush(chunk)
-            chunk = []
-        chunk_shapes = shapes
-        chunk.append((i, data))
-    flush(chunk)
+        key = (bucket_of(data["image0"].shape), bucket_of(data["image1"].shape))
+        c = open_chunks.setdefault(key, [])
+        c.append((i, data))
+        if len(c) >= eval_batch:
+            flush(c, key)
+            open_chunks[key] = []
+    for key, c in open_chunks.items():
+        flush(c, key)
     if in_flight is not None:
         collect(in_flight)
-    return [pose_errors[i] for i in range(n)], cannot_compute
+    log.info("compiled signatures: %d (shape_bucket=%d)", len(n_signatures),
+             bucket)
+    return [pose_errors[i] for i in range(n)], cannot_compute, len(n_signatures)
 
 
 def main(argv=None):
-    opt = parse_args(argv)
+    opt = resolve_kernel_impls(parse_args(argv))
     source_dir = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     assets = opt.assets_dir or os.path.join(source_dir, "assets")
     # dataset-specific pair lists + superpoint params (`eval_pairs.py:155-180`)
@@ -341,7 +393,7 @@ def main(argv=None):
 
     dataset_dir = os.path.join(opt.data_dir, opt.dataset)
     dataset = PairMatchingDataset(dataset_dir, input_files, img_size, ds_key)
-    pose_errors, cannot = evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset)
+    pose_errors, cannot, _ = evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset)
 
     aucs = pose_auc(pose_errors, [5, 10, 20])
     result = {f"AUC@{t}deg": 100.0 * a for t, a in zip((5, 10, 20), aucs)}

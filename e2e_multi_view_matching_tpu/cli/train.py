@@ -70,6 +70,11 @@ def parse_args(argv=None):
                         help="experiment to initialize parameters from")
     parser.add_argument("--batch_size", type=int, default=8,
                         help="per-process batch size")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="gradient-accumulation microbatches per step: the "
+                        "effective batch is batch_size * grad_accum (feeds the "
+                        "LR scaling law); the compiled program stays one "
+                        "microbatch in size")
     parser.add_argument("--pose_loss", action="store_true", help="apply a pose loss")
     parser.add_argument("--final_pose_match_ratio", type=float, default=0.99)
     parser.add_argument("--lr", type=float, default=1e-4)
@@ -121,9 +126,11 @@ def main(argv=None):
              mesh.shape["model"])
 
     apply_dataset_defaults(opt)
+    # the LR law sees the EFFECTIVE global batch: per-process batch x
+    # accumulation x data-parallel width (`train.py:23-34`'s ngpus factor)
     opt.lr, opt.decay_rate, opt.start_decay, opt.end_decay = scale_lr(
-        opt.tuple_size, opt.batch_size, n_data, opt.lr, opt.decay_rate,
-        opt.start_decay, opt.end_decay, opt.dataset,
+        opt.tuple_size, opt.batch_size * opt.grad_accum, n_data, opt.lr,
+        opt.decay_rate, opt.start_decay, opt.end_decay, opt.dataset,
     )
 
     resume = opt.exp_name is not None
@@ -159,7 +166,7 @@ def main(argv=None):
         dataset_dir, split="val", tuple_size=opt.tuple_size, n_samples=opt.n_samples,
     )
     log.info("loaded %d train / %d val tuples", len(train_dataset), len(val_dataset))
-    global_batch = opt.batch_size * n_data
+    global_batch = opt.batch_size * n_data * opt.grad_accum
 
     # models / state
     superpoint, matcher = build_models(opt)
@@ -198,7 +205,8 @@ def main(argv=None):
             start_epoch = epoch + 1
         log.info("initialized from %s (missing=%s)", opt.init_exp_name, info["missing"])
 
-    train_step = jax.jit(make_train_step(superpoint, matcher, tx, opt))
+    train_step = jax.jit(make_train_step(superpoint, matcher, tx, opt,
+                                         grad_accum=opt.grad_accum))
     eval_step = jax.jit(make_eval_step(superpoint, matcher, opt))
 
     # each process feeds its slice of the global batch (DistributedSampler role)

@@ -41,36 +41,68 @@ class SuperPointConfig:
 
 
 class SuperPointNet(nn.Module):
-    """The convolutional trunk: image (B, H, W, 1) -> (heatmap logits, descriptors)."""
+    """The convolutional trunk: image (B, H, W, 1) -> (heatmap logits, descriptors).
+
+    With `valid_size` (per-image true (h, w) of zero-padded shape-bucketed
+    inputs), activations beyond each image's extent are re-zeroed after every
+    conv and pool. This makes the computation inside the extent EXACTLY the
+    exact-size run's: a SAME conv at the true edge taps zeros either way, and
+    without the masking the pad region develops bias-driven activations that
+    bleed ~a receptive field into the boundary cells. Extents floor-halve at
+    each pool, mirroring the exact-size run's VALID 2x2 pooling.
+    """
 
     descriptor_dim: int = 256
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, image):
+    def __call__(self, image, valid_size=None):
         c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
         dt = jnp.dtype(self.compute_dtype)
         conv = lambda ch, k, name: nn.Conv(ch, k, name=name, dtype=dt)
         relu = nn.relu
-        pool = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = relu(conv(c1, (3, 3), "conv1a")(image.astype(dt)))
-        x = relu(conv(c1, (3, 3), "conv1b")(x))
-        x = pool(x)
-        x = relu(conv(c2, (3, 3), "conv2a")(x))
-        x = relu(conv(c2, (3, 3), "conv2b")(x))
-        x = pool(x)
-        x = relu(conv(c3, (3, 3), "conv3a")(x))
-        x = relu(conv(c3, (3, 3), "conv3b")(x))
-        x = pool(x)
-        x = relu(conv(c4, (3, 3), "conv4a")(x))
-        x = relu(conv(c4, (3, 3), "conv4b")(x))
 
-        cPa = relu(conv(c5, (3, 3), "convPa")(x))
+        if valid_size is not None:
+            ext = [valid_size[:, 0].astype(jnp.int32),
+                   valid_size[:, 1].astype(jnp.int32)]  # per-image (h, w)
+
+        def m(x):
+            if valid_size is None:
+                return x
+            ys = jnp.arange(x.shape[1])[None, :, None, None]
+            xs = jnp.arange(x.shape[2])[None, None, :, None]
+            keep = (ys < ext[0][:, None, None, None]) & (
+                xs < ext[1][:, None, None, None])
+            return jnp.where(keep, x, jnp.zeros((), x.dtype))
+
+        def pool(x):
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if valid_size is not None:
+                ext[0] = ext[0] // 2
+                ext[1] = ext[1] // 2
+            return m(x)
+
+        x = m(relu(conv(c1, (3, 3), "conv1a")(image.astype(dt))))
+        x = m(relu(conv(c1, (3, 3), "conv1b")(x)))
+        x = pool(x)
+        x = m(relu(conv(c2, (3, 3), "conv2a")(x)))
+        x = m(relu(conv(c2, (3, 3), "conv2b")(x)))
+        x = pool(x)
+        x = m(relu(conv(c3, (3, 3), "conv3a")(x)))
+        x = m(relu(conv(c3, (3, 3), "conv3b")(x)))
+        x = pool(x)
+        x = m(relu(conv(c4, (3, 3), "conv4a")(x)))
+        x = m(relu(conv(c4, (3, 3), "conv4b")(x)))
+
+        cPa = m(relu(conv(c5, (3, 3), "convPa")(x)))
         heat = conv(65, (1, 1), "convPb")(cPa).astype(jnp.float32)
 
-        cDa = relu(conv(c5, (3, 3), "convDa")(x))
+        cDa = m(relu(conv(c5, (3, 3), "convDa")(x)))
         desc = conv(self.descriptor_dim, (1, 1), "convDb")(cDa).astype(jnp.float32)
         desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+        # zero whole cells beyond the extent so bilinear taps into them
+        # contribute nothing (the exact-size run's out-of-grid taps are zero)
+        desc = m(desc)
         return heat, desc
 
 
@@ -119,18 +151,45 @@ class SuperPoint(nn.Module):
     config: SuperPointConfig = SuperPointConfig()
 
     @nn.compact
-    def __call__(self, image, *, rng=None):
+    def __call__(self, image, valid_size=None, *, rng=None):
+        """Detect keypoints.
+
+        Args:
+            image: (B, H, W, 1) grayscale in [0, 1].
+            valid_size: optional (B, 2) per-image true (h, w) extents for
+                shape-bucketed batching: images padded with zeros up to a
+                common bucket shape set their true extent here, and detector
+                scores outside it are zeroed BEFORE NMS (so the pad region's
+                uniform softmax plateau, ~1/65 per cell, can neither produce
+                keypoints nor suppress genuine low-score keypoints near the
+                boundary). Inside the valid extent the conv arithmetic is
+                identical to an exact-size run: SAME convs pad zeros at the
+                image edge exactly where the bucket padding puts real zeros.
+            rng: keypoint-fill rng (else `make_rng("keypoints")`).
+        """
         cfg = self.config
         B, H, W, _ = image.shape
         heat, desc_map = SuperPointNet(
             cfg.descriptor_dim, cfg.compute_dtype, name="net"
-        )(image)
+        )(image, valid_size)
 
         # 65-way softmax per 8x8 cell, drop dustbin, unshuffle to full resolution.
         probs = jax.nn.softmax(heat, axis=-1)[..., :64]
         Hc, Wc = probs.shape[1], probs.shape[2]
         scores = probs.reshape(B, Hc, Wc, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+        if valid_size is not None:
+            # detectable extent = the exact-size run's score grid,
+            # floor(floor(floor(v/2)/2)/2) * 8 <= v (cells beyond it carry
+            # zeroed features whose softmax is a uniform 1/65 plateau)
+            vh = ((valid_size[:, 0].astype(jnp.int32) // 2 // 2 // 2) * 8
+                  )[:, None, None]
+            vw = ((valid_size[:, 1].astype(jnp.int32) // 2 // 2 // 2) * 8
+                  )[:, None, None]
+            ys_g = jnp.arange(Hc * 8, dtype=jnp.int32)[None, :, None]
+            xs_g = jnp.arange(Wc * 8, dtype=jnp.int32)[None, None, :]
+            scores = jnp.where((ys_g < vh) & (xs_g < vw), scores, 0.0)
 
         scores = simple_nms(scores, cfg.nms_radius)
 
@@ -158,26 +217,49 @@ class SuperPoint(nn.Module):
         if cfg.fill_with_random_keypoints:
             if rng is None:
                 rng = self.make_rng("keypoints")
-            rx = jax.random.uniform(rng, (B, K), minval=float(b), maxval=float(W - 1 - b))
-            rkey = jax.random.split(rng, 2)[1]
-            ry = jax.random.uniform(rkey, (B, K), minval=float(b), maxval=float(H - 1 - b))
+            if valid_size is None:
+                rx = jax.random.uniform(rng, (B, K), minval=float(b),
+                                        maxval=float(W - 1 - b))
+                rkey = jax.random.split(rng, 2)[1]
+                ry = jax.random.uniform(rkey, (B, K), minval=float(b),
+                                        maxval=float(H - 1 - b))
+            else:
+                # fill inside each image's true extent, never the pad region
+                vw = valid_size[:, 1].astype(jnp.float32)[:, None]
+                vh = valid_size[:, 0].astype(jnp.float32)[:, None]
+                rx = b + jax.random.uniform(rng, (B, K)) * (vw - 1 - 2 * b)
+                rkey = jax.random.split(rng, 2)[1]
+                ry = b + jax.random.uniform(rkey, (B, K)) * (vh - 1 - 2 * b)
             rand_kpts = jnp.stack([rx, ry], axis=-1)
             kpts = jnp.where(valid[..., None], kpts, rand_kpts)
         top_scores = jnp.where(valid, top_scores, 0.0)
 
-        descs = sample_descriptors(kpts, desc_map)
+        valid_cells = None
+        if valid_size is not None:
+            valid_cells = valid_size.astype(jnp.int32) // 2 // 2 // 2
+        descs = sample_descriptors(kpts, desc_map, valid_cells=valid_cells)
         return {"keypoints": kpts, "scores": top_scores, "descriptors": descs}
 
 
-def sample_descriptors(kpts, desc_map, cell=8):
+def sample_descriptors(kpts, desc_map, cell=8, valid_cells=None):
     """Bilinearly sample L2-normalized descriptors at keypoint pixel locations.
 
     Args:
         kpts: (B, K, 2) xy pixels; desc_map: (B, Hc, Wc, D) coarse descriptors.
+        valid_cells: optional (B, 2) per-image true (Hc, Wc) for shape-bucketed
+            inputs -- the upstream mapping normalizes by the image's OWN grid
+            size, so exact-size equivalence requires the true cell counts, not
+            the bucket's.
     Returns:
         (B, K, D) unit descriptors.
     """
     B, Hc, Wc, D = desc_map.shape
+    if valid_cells is None:
+        hc = jnp.full((B, 1), Hc, jnp.float32)
+        wc = jnp.full((B, 1), Wc, jnp.float32)
+    else:
+        hc = valid_cells[:, 0].astype(jnp.float32)[:, None]
+        wc = valid_cells[:, 1].astype(jnp.float32)[:, None]
     # Upstream sample_descriptors (magicleap superpoint.py): pixel p maps to
     # the normalized coordinate (p - cell/2 + 0.5) / (dim*cell - cell/2 - 0.5)
     # in ~[0, 1], then grid_sample(align_corners=True) reads the grid at
@@ -185,8 +267,8 @@ def sample_descriptors(kpts, desc_map, cell=8):
     # NOT the same as (p - cell/2 + 0.5)/cell with clipping; imported
     # checkpoints require the exact convention (tests/test_golden_full_model
     # TestFullSuperPointGolden).
-    gx = (kpts[..., 0] - cell / 2 + 0.5) / (Wc * cell - cell / 2 - 0.5) * (Wc - 1)
-    gy = (kpts[..., 1] - cell / 2 + 0.5) / (Hc * cell - cell / 2 - 0.5) * (Hc - 1)
+    gx = (kpts[..., 0] - cell / 2 + 0.5) / (wc * cell - cell / 2 - 0.5) * (wc - 1)
+    gy = (kpts[..., 1] - cell / 2 + 0.5) / (hc * cell - cell / 2 - 0.5) * (hc - 1)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
     wx = (gx - x0)[..., None]

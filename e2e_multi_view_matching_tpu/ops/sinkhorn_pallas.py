@@ -29,9 +29,24 @@ VMEM scratch. Shapes need not be 128-aligned (Mosaic pads internally); the
 dustbin row/column participates like any other row, exactly as in the XLA
 implementation.
 
-Gradients: `log_optimal_transport_pallas` carries a custom VJP that recomputes
-the backward pass through the XLA scan implementation (identical fixed point),
-so the kernels are safe to use inside training losses too.
+Gradients: `log_optimal_transport_pallas` carries a custom VJP with a REAL
+Pallas backward kernel (default): the forward-under-grad runs the exact
+log-domain iteration while stashing the per-iteration dual potentials u_t, v_t
+(vectors -- (iters, K+1) per pair, cheap in HBM), and the backward kernel
+replays the iterations in reverse with the couplings VMEM-resident. Each
+reverse step rebuilds the row/column softmax matrices P_t, Q_t from the
+stashed duals (P_t = exp(coup + u_t + v_{t-1} - log_mu) row-wise,
+Q_t = exp(coup + u_t + v_t - log_nu) column-wise -- entries <= 1 by
+construction, so the exponentials cannot overflow), accumulates the coupling
+cotangent in a second VMEM buffer, and chains the dual cotangents:
+
+    gu_t = [t == T: rowsum(g)] - (Q_t * gv_t).sum(1)
+    dC  -= Q_t * gv_t[None, :] + P_t * gu_t[:, None]
+    gv_{t-1} = -(P_t * gu_t[:, None]).sum(0)
+
+This is mathematically the VJP of the XLA log-domain scan (same fixed point
+the old XLA-recompute backward differentiated) without ever leaving VMEM;
+`backward="xla"` keeps the recompute path selectable for A/B tests.
 """
 
 import functools
@@ -169,7 +184,210 @@ def _sinkhorn_scaling_kernel(
     )
 
 
+def _sinkhorn_log_stash_kernel(
+    coup_hbm, log_mu_ref, log_nu_ref, out_hbm, u_hbm, v_hbm, *, n_iters
+):
+    """Exact log-domain iteration that also stashes every u_t, v_t.
+
+    Identical math to `_sinkhorn_kernel`; the stashed duals are what the
+    backward kernel needs to rebuild the per-iteration softmax matrices, and
+    they are only vectors: (iters, M) + (iters, N) per pair.
+    """
+    log_mu = log_mu_ref[0, 0]  # (M,)
+    log_nu = log_nu_ref[0, 0]  # (N,)
+    b = pl.program_id(0)
+
+    def run(scratch, uacc, vacc, sem_in, sem_out, sem_u, sem_v):
+        copy_in = pltpu.make_async_copy(coup_hbm.at[b], scratch, sem_in)
+        copy_in.start()
+        copy_in.wait()
+        coup = scratch[:]
+
+        def body(t, uv):
+            u, v = uv
+            a = coup + v[None, :]
+            m1 = jnp.max(a, axis=1)
+            u = log_mu - (jnp.log(jnp.sum(jnp.exp(a - m1[:, None]), axis=1)) + m1)
+            bb = coup + u[:, None]
+            m0 = jnp.max(bb, axis=0)
+            v = log_nu - (jnp.log(jnp.sum(jnp.exp(bb - m0[None, :]), axis=0)) + m0)
+            uacc[pl.ds(t, 1), :] = u[None, :]
+            vacc[pl.ds(t, 1), :] = v[None, :]
+            return (u, v)
+
+        u0 = jnp.zeros_like(log_mu)
+        v0 = jnp.zeros_like(log_nu)
+        u, v = jax.lax.fori_loop(0, n_iters, body, (u0, v0))
+        scratch[:] = coup + u[:, None] + v[None, :]
+        copies = [
+            pltpu.make_async_copy(scratch, out_hbm.at[b], sem_out),
+            pltpu.make_async_copy(uacc, u_hbm.at[b], sem_u),
+            pltpu.make_async_copy(vacc, v_hbm.at[b], sem_v),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+    Tp = u_hbm.shape[1]
+    pl.run_scoped(
+        run,
+        pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
+        pltpu.VMEM((Tp, coup_hbm.shape[1]), coup_hbm.dtype),
+        pltpu.VMEM((Tp, coup_hbm.shape[2]), coup_hbm.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def _sinkhorn_bwd_kernel(
+    coup_hbm, u_hbm, v_hbm, g_hbm, log_mu_ref, log_nu_ref, dcoup_hbm, *, n_iters
+):
+    """Reverse-mode sweep through the log-domain Sinkhorn iterations.
+
+    The couplings and the cotangent accumulator stay VMEM-resident; each
+    reverse step costs two exp sweeps + two multiply-reduce sweeps over the
+    matrix (the backward twin of one forward iteration). Exponent grouping is
+    chosen so the padded rows/columns (coupling/marginal = -1e30) cancel to
+    exp(0) = 1 against zero cotangents instead of producing inf/NaN.
+    """
+    log_mu = log_mu_ref[0, 0]  # (M,)
+    log_nu = log_nu_ref[0, 0]  # (N,)
+    b = pl.program_id(0)
+
+    def run(bufC, bufG, bufU, bufV, sem_c, sem_g, sem_u, sem_v, sem_out):
+        copies = [
+            pltpu.make_async_copy(coup_hbm.at[b], bufC, sem_c),
+            pltpu.make_async_copy(g_hbm.at[b], bufG, sem_g),
+            pltpu.make_async_copy(u_hbm.at[b], bufU, sem_u),
+            pltpu.make_async_copy(v_hbm.at[b], bufV, sem_v),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        coup = bufC[:]
+        g = bufG[:]
+        gu0 = jnp.sum(g, axis=1)  # \bar{u}_T direct term
+        gv0 = jnp.sum(g, axis=0)  # \bar{v}_T direct term
+
+        def step(s, gv):
+            t = n_iters - 1 - s
+            u_t = bufU[pl.ds(t, 1), :][0]
+            v_t = bufV[pl.ds(t, 1), :][0]
+            v_prev = jnp.where(
+                t > 0, bufV[pl.ds(jnp.maximum(t - 1, 0), 1), :][0], 0.0
+            )
+            # column softmax of (coup + u_t): entries <= 1, exponent <= ~0
+            Q = jnp.exp((coup + u_t[:, None]) + (v_t - log_nu)[None, :])
+            tmp = Q * gv[None, :]
+            gu = jnp.where(s == 0, gu0, 0.0) - jnp.sum(tmp, axis=1)
+            # row softmax of (coup + v_{t-1})
+            P = jnp.exp((coup + v_prev[None, :]) + (u_t - log_mu)[:, None])
+            tmp2 = P * gu[:, None]
+            bufG[:] = bufG[:] - (tmp + tmp2)
+            return -jnp.sum(tmp2, axis=0)
+
+        jax.lax.fori_loop(0, n_iters, step, gv0)
+        copy_out = pltpu.make_async_copy(bufG, dcoup_hbm.at[b], sem_out)
+        copy_out.start()
+        copy_out.wait()
+
+    Tp = u_hbm.shape[1]
+    pl.run_scoped(
+        run,
+        pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
+        pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
+        pltpu.VMEM((Tp, coup_hbm.shape[1]), coup_hbm.dtype),
+        pltpu.VMEM((Tp, coup_hbm.shape[2]), coup_hbm.dtype),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
 _PAD_NEG = -1e30  # effectively -inf without inf-inf NaN hazards
+
+
+def _pad_all(couplings, log_mu, log_nu):
+    """Pad matrix dims to multiples of 128 with inert -1e30 rows/columns."""
+    B, M, N = couplings.shape
+    Mp = -(-M // 128) * 128
+    Np = -(-N // 128) * 128
+    if (Mp != M) or (Np != N):
+        couplings = jnp.pad(couplings, ((0, 0), (0, Mp - M), (0, Np - N)),
+                            constant_values=_PAD_NEG)
+        log_mu = jnp.pad(log_mu, ((0, 0), (0, Mp - M)), constant_values=_PAD_NEG)
+        log_nu = jnp.pad(log_nu, ((0, 0), (0, Np - N)), constant_values=_PAD_NEG)
+    return couplings, log_mu, log_nu, Mp, Np
+
+
+def _pallas_sinkhorn_stash(couplings, log_mu, log_nu, n_iters, interpret=None):
+    """Forward log-domain kernel returning (Z, U, V) with per-iteration duals."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, M, N = couplings.shape
+    couplings, log_mu, log_nu, Mp, Np = _pad_all(couplings, log_mu, log_nu)
+    Tp = -(-n_iters // 8) * 8  # sublane-aligned stash rows
+    kernel = functools.partial(_sinkhorn_log_stash_kernel, n_iters=n_iters)
+    Z, U, V = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, Mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, Np), couplings.dtype),
+            jax.ShapeDtypeStruct((B, Tp, Mp), couplings.dtype),
+            jax.ShapeDtypeStruct((B, Tp, Np), couplings.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(couplings, log_mu[:, None, :], log_nu[:, None, :])
+    return Z[:, :M, :N], U, V
+
+
+def _pallas_sinkhorn_bwd(couplings, U, V, g, log_mu, log_nu, n_iters,
+                         interpret=None):
+    """Backward kernel: cotangent of Z w.r.t. the (unpadded) couplings."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, M, N = couplings.shape
+    couplings, log_mu, log_nu, Mp, Np = _pad_all(couplings, log_mu, log_nu)
+    if (Mp != M) or (Np != N):
+        # zero cotangent on padding keeps the padded algebra inert
+        g = jnp.pad(g, ((0, 0), (0, Mp - M), (0, Np - N)))
+    kernel = functools.partial(_sinkhorn_bwd_kernel, n_iters=n_iters)
+    dcoup = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, Mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, Np), couplings.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(couplings, U, V, g, log_mu[:, None, :], log_nu[:, None, :])
+    return dcoup[:, :M, :N]
 
 
 def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False,
@@ -220,9 +438,9 @@ def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False,
     return out[:, :M, :N] if padded else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=None,
-                                 algorithm="scaling"):
+                                 algorithm="scaling", backward="pallas"):
     """Drop-in Pallas replacement for `ops.sinkhorn.log_optimal_transport`.
 
     Args:
@@ -231,6 +449,10 @@ def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=None,
         algorithm: "scaling" (stabilized scaling domain, no per-iteration
             transcendentals; rounds n_iters UP to a multiple of 10, like
             `log_sinkhorn_mxu`) or "log" (exact log-domain iteration).
+        backward: "pallas" (real VMEM-resident backward kernel; the
+            forward-under-grad runs the exact log-domain stash kernel at the
+            same effective iteration count) or "xla" (recompute the VJP
+            through the XLA log scan -- the pre-round-4 behavior).
     Returns:
         (B, M+1, N+1) log assignment.
     """
@@ -238,6 +460,12 @@ def log_optimal_transport_pallas(scores, alpha, n_iters, interpret=None,
     Z = _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters,
                          interpret=interpret, algorithm=algorithm)
     return Z - norm
+
+
+def _eff_iters(n_iters, algorithm):
+    # the scaling primal rounds UP to a multiple of 10; fwd-under-grad and
+    # backward must differentiate the same effective fixed point
+    return -(-n_iters // 10) * 10 if algorithm == "scaling" else n_iters
 
 
 def _augment(scores, alpha):
@@ -269,22 +497,37 @@ def _augment(scores, alpha):
     )
 
 
-def _fwd(scores, alpha, n_iters, interpret, algorithm):
-    out = log_optimal_transport_pallas(scores, alpha, n_iters, interpret,
-                                       algorithm)
-    return out, (scores, alpha)
-
-
-def _bwd(n_iters, interpret, algorithm, residuals, g):
-    scores, alpha = residuals
-    # identical math through the XLA scan; its VJP is the kernel's VJP. The
-    # scaling algorithm rounds the forward count UP to a multiple of 10 --
-    # differentiate the same effective fixed point.
-    eff = -(-n_iters // 10) * 10 if algorithm == "scaling" else n_iters
-    _, vjp = jax.vjp(
-        lambda s, a: sinkhorn_xla.log_optimal_transport(s, a, eff), scores, alpha
+def _fwd(scores, alpha, n_iters, interpret, algorithm, backward):
+    if backward == "xla":
+        out = log_optimal_transport_pallas(scores, alpha, n_iters, interpret,
+                                           algorithm, backward)
+        return out, (scores, alpha, None, None)
+    couplings, log_mu, log_nu, norm = _augment(scores, alpha)
+    Z, U, V = _pallas_sinkhorn_stash(
+        couplings, log_mu, log_nu, _eff_iters(n_iters, algorithm),
+        interpret=interpret,
     )
-    return vjp(g)
+    return Z - norm, (scores, alpha, U, V)
+
+
+def _bwd(n_iters, interpret, algorithm, backward, residuals, g):
+    scores, alpha, U, V = residuals
+    eff = _eff_iters(n_iters, algorithm)
+    if backward == "xla":
+        # recompute the VJP through the XLA scan (identical math)
+        _, vjp = jax.vjp(
+            lambda s, a: sinkhorn_xla.log_optimal_transport(s, a, eff),
+            scores, alpha,
+        )
+        return vjp(g)
+    B, M, N = scores.shape
+    couplings, log_mu, log_nu, _ = _augment(scores, alpha)
+    dcoup = _pallas_sinkhorn_bwd(couplings, U, V, g, log_mu, log_nu, eff,
+                                 interpret=interpret)
+    dscores = dcoup[:, :M, :N]
+    dalpha = (jnp.sum(dcoup[:, :M, N]) + jnp.sum(dcoup[:, M, :N])
+              + jnp.sum(dcoup[:, M, N])).astype(jnp.asarray(alpha).dtype)
+    return dscores, dalpha
 
 
 log_optimal_transport_pallas.defvjp(_fwd, _bwd)

@@ -32,7 +32,7 @@ def create_train_state(params, batch_stats, tx):
         pose_match_ratio=jnp.zeros(()),
     )
 
-def make_train_step(superpoint, matcher, tx, opt):
+def make_train_step(superpoint, matcher, tx, opt, grad_accum: int = 1):
     """Build the jitted train step.
 
     Args:
@@ -41,6 +41,16 @@ def make_train_step(superpoint, matcher, tx, opt):
         opt: config namespace/dataclass with fields `pose_loss`, `rot_weight`,
             `trans_weight`, `final_pose_match_ratio`, `match_reproj_err`,
             `unmatch_reproj_err`, `tuple_size`.
+        grad_accum: microbatch count. When > 1, the incoming batch's leading
+            dim splits into `grad_accum` microbatches processed by a
+            `lax.scan`; microbatch gradients are averaged before the single
+            optimizer update. Because the reference loss is sum/batch
+            (`helpers.py:241`), the averaged gradient equals the full-batch
+            gradient exactly; the compiled program stays one-microbatch-sized
+            (the workaround for effective batch >= 10, which the axon tunnel's
+            compile helper rejects as a single program -- BASELINE.md round
+            3). BatchNorm running stats update once per microbatch (momentum
+            0.9 applied `grad_accum` times per step) instead of once.
 
     Returns:
         train_step(state, sp_variables, batch, rng) -> (state, metrics) where
@@ -50,7 +60,8 @@ def make_train_step(superpoint, matcher, tx, opt):
     n_pairs = opt.tuple_size * (opt.tuple_size - 1) // 2
     ratio_increment = 2.5e-5  # `train.py:368`
 
-    def train_step(state, sp_variables, batch, rng):
+    def microbatch_grads(params, batch_stats, pose_match_ratio, sp_variables,
+                         batch, rng):
         images = batch["images"]
         B, V = images.shape[:2]
         H, W = images.shape[2:4]
@@ -77,7 +88,7 @@ def make_train_step(superpoint, matcher, tx, opt):
 
         def loss_fn(params):
             out, updates = matcher.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 kpts, scores, descs, image_size,
                 train=True, full_output=bool(opt.pose_loss),
                 mutable=["batch_stats"],
@@ -87,14 +98,52 @@ def make_train_step(superpoint, matcher, tx, opt):
                 pose_loss=bool(opt.pose_loss),
             )
             total, scaled = combine_losses(
-                losses, n_pairs, state.pose_match_ratio, opt.rot_weight,
+                losses, n_pairs, pose_match_ratio, opt.rot_weight,
                 opt.trans_weight,
             )
             return total, (scaled, updates["batch_stats"])
 
         (total, (scaled, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(params)
+        return grads, total, scaled, new_bs
+
+    def train_step(state, sp_variables, batch, rng):
+        if grad_accum == 1:
+            grads, total, scaled, new_bs = microbatch_grads(
+                state.params, state.batch_stats, state.pose_match_ratio,
+                sp_variables, batch, rng,
+            )
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, xs):
+                bs_c, grad_acc, tot_acc, scaled_acc = carry
+                mb, idx = xs
+                g, tot, scaled_i, bs_n = microbatch_grads(
+                    state.params, bs_c, state.pose_match_ratio, sp_variables,
+                    mb, jax.random.fold_in(rng, idx),
+                )
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, g)
+                scaled_acc = jax.tree_util.tree_map(jnp.add, scaled_acc, scaled_i)
+                return (bs_n, grad_acc, tot_acc + tot, scaled_acc), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_s = {"match_loss": jnp.zeros(()), "rot_loss": jnp.zeros(()),
+                      "transl_loss": jnp.zeros(())}
+            (new_bs, grads, total, scaled), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_g, jnp.zeros(()), zero_s),
+                (micro, jnp.arange(grad_accum)),
+            )
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            total = total * inv
+            scaled = jax.tree_util.tree_map(lambda s: s * inv, scaled)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

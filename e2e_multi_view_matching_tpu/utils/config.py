@@ -16,17 +16,22 @@ def add_generic_arguments(parser):
     parser.add_argument("--dataset", type=str, default="scannet", help="dataset")
     parser.add_argument("--tuple_size", type=int, default=5,
                         help="number of images to be matched")
-    # TPU kernel selection (no reference analog): "xla" keeps the compiler
-    # paths; "pallas" attention / "pallas" Sinkhorn (VMEM-resident scaling
-    # domain, 9.7x the XLA log scan at the eval shape -- BASELINE.md round 3;
-    # "mxu" is the XLA scaling-domain middle ground) are the measured-faster
-    # hand kernels, opt-in because they trade bitwise XLA agreement
-    # (~4e-4 attention, ~2e-4 Sinkhorn probabilities) for speed.
-    parser.add_argument("--attention_impl", type=str, default="xla",
-                        choices=["xla", "pallas"],
+    # TPU kernel selection (no reference analog): "pallas" attention (fused
+    # in-kernel-masked, REAL flash backward since round 4) and "pallas"
+    # Sinkhorn (VMEM-resident scaling domain, 9.7x the XLA log scan at the
+    # eval shape, real reverse-sweep backward kernel) are the measured-faster
+    # paths both in eval AND training (B=8 bf16 train step 383 -> 257 ms,
+    # BASELINE.md round 4), and are the DEFAULT. They match XLA to f32
+    # reduction-order noise (~4e-4 attention, ~2e-4 Sinkhorn probabilities);
+    # pass "xla" for the bitwise compiler paths ("mxu" = XLA scaling-domain
+    # Sinkhorn middle ground).
+    # The default "auto" resolves to pallas on TPU and xla elsewhere (the
+    # kernels fall back to the slow interpreter off-TPU).
+    parser.add_argument("--attention_impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"],
                         help="matcher attention kernel (pallas = fused masked)")
-    parser.add_argument("--sinkhorn_impl", type=str, default="xla",
-                        choices=["xla", "mxu", "pallas"],
+    parser.add_argument("--sinkhorn_impl", type=str, default="auto",
+                        choices=["auto", "xla", "mxu", "pallas"],
                         help="Sinkhorn kernel (mxu = scaling-domain matvecs)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
@@ -42,8 +47,21 @@ def get_exp_dir(checkpoint_dir, exp_name):
     return exp_dir, os.path.join(exp_dir, "cfg.json")
 
 
+def resolve_kernel_impls(opt):
+    """Resolve the "auto" kernel selections: pallas on TPU, xla elsewhere."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if getattr(opt, "attention_impl", "auto") == "auto":
+        opt.attention_impl = "pallas" if on_tpu else "xla"
+    if getattr(opt, "sinkhorn_impl", "auto") == "auto":
+        opt.sinkhorn_impl = "pallas" if on_tpu else "xla"
+    return opt
+
+
 def apply_dataset_defaults(opt):
     """Dataset-conditional hyperparameters (`train.py:174-268`), mutated onto opt."""
+    resolve_kernel_impls(opt)
     ds = opt.dataset
     if "scannet" in ds:
         opt.remove_borders = 12

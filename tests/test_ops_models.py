@@ -139,6 +139,39 @@ class TestSinkhorn:
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                    atol=1e-5)
 
+    def test_pallas_backward_kernel_matches_xla_vjp(self, rng):
+        """The round-4 REAL Sinkhorn backward kernel (reverse sweeps over the
+        stashed per-iteration duals, couplings VMEM-resident) matches the
+        XLA-scan VJP -- for scores AND the learnable dustbin alpha, at padded
+        (33x29 -> 128x128) and 128-aligned (127x127 -> 128x128) shapes, and
+        under extreme scores."""
+        from e2e_multi_view_matching_tpu.ops.sinkhorn_pallas import (
+            log_optimal_transport_pallas,
+        )
+
+        for shape, mult in (((3, 33, 29), 4), ((2, 127, 127), 4),
+                            ((2, 16, 16), 30)):
+            scores = jnp.asarray(
+                rng.normal(size=shape).astype(np.float32) * mult)
+            w = jnp.asarray(rng.normal(
+                size=(shape[0], shape[1] + 1, shape[2] + 1)).astype(np.float32))
+
+            def f(backward):
+                def loss(s, a):
+                    Z = log_optimal_transport_pallas(s, a, 20, True, "scaling",
+                                                     backward)
+                    return jnp.sum(Z * w)
+                return loss
+
+            gs_pal, ga_pal = jax.grad(f("pallas"), argnums=(0, 1))(scores, 1.0)
+            gs_xla, ga_xla = jax.grad(f("xla"), argnums=(0, 1))(scores, 1.0)
+            assert np.all(np.isfinite(np.asarray(gs_pal)))
+            scale = max(float(jnp.max(jnp.abs(gs_xla))), 1.0)
+            np.testing.assert_allclose(np.asarray(gs_pal) / scale,
+                                       np.asarray(gs_xla) / scale, atol=2e-4)
+            np.testing.assert_allclose(float(ga_pal), float(ga_xla),
+                                       rtol=2e-3, atol=2e-3)
+
     def test_pallas_log_kernel_matches_xla(self, rng):
         """The exact log-domain Pallas kernel (algorithm='log') is
         bit-comparable to the XLA scan at every iteration count."""
@@ -229,6 +262,47 @@ class TestFusedCrossAttention:
         gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_flash_backward_kernel_train_shape(self, rng):
+        """The round-4 REAL flash backward (dq kernel + dk/dv kernel, own-view
+        blocks never loaded) matches the XLA VJP at the training shape
+        (V=5, K=400 -> block_q=200, 2 tiles/view) with a non-trivial
+        cotangent, in f32 and with bf16 inputs."""
+        from e2e_multi_view_matching_tpu.ops.attention_pallas import (
+            _use_flash_bwd,
+            fused_view_attention,
+        )
+
+        V, K, D, heads = 5, 400, 64, 4
+        S = V * K
+        flash, block_q = _use_flash_bwd(S, V, K, "cross")
+        assert flash and block_q == 200
+        q = jnp.asarray(rng.normal(size=(1, S, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, S, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, S, D)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(1, S, D)).astype(np.float32))
+
+        def f_pallas(q, k, v):
+            return (fused_view_attention(q, k, v, heads, V, K, mode="cross")
+                    * w).sum()
+
+        def f_ref(q, k, v):
+            return (multi_head_attention(
+                q, k, v, heads, mask=cross_view_mask(V, K)) * w).sum()
+
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+        # bf16 inputs: cotangents agree with the bf16 XLA VJP to bf16 noise
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        gpb = jax.grad(f_pallas, argnums=(0, 1, 2))(qb, kb, vb)
+        grb = jax.grad(f_ref, argnums=(0, 1, 2))(qb, kb, vb)
+        for a, b in zip(gpb, grb):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), atol=0.15
+            )
 
 
 class TestSuperPoint:

@@ -138,6 +138,44 @@ class TestTrainStep:
         after = jax.tree_util.tree_leaves(new_state.params)[0]
         assert not np.allclose(np.asarray(before), np.asarray(after))
 
+    def test_grad_accum_matches_full_batch(self):
+        """grad_accum=2 on a duplicated batch reproduces the grad_accum=1
+        update exactly: the reference loss is sum/batch, so averaged
+        microbatch gradients equal the full-batch gradient. keypoint_threshold
+        is forced to 0 so SuperPoint detects deterministically (no random
+        fill, which draws from a per-microbatch folded rng)."""
+        import dataclasses
+
+        import optax
+
+        sp, matcher, _, opt, _, sp_vars, batch = tiny_setup(pose_loss=False)
+        sp_det = SuperPoint(dataclasses.replace(sp.config, keypoint_threshold=0.0))
+        # SGD makes the update LINEAR in the gradient: post-Adam params are a
+        # sign(g)-like function near zero gradients, where f32 reduction-order
+        # noise between the scan and straight-line programs flips updates.
+        tx = optax.sgd(1e-2)
+        m_vars = matcher.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, 3, 24, 2)), jnp.zeros((2, 3, 24)),
+            jnp.zeros((2, 3, 24, 256)), jnp.full((2, 3, 2), 48.0),
+        )
+        state = create_train_state(m_vars["params"], m_vars["batch_stats"], tx)
+        dup = {k: jnp.concatenate([v, v], axis=0) for k, v in batch.items()}
+        step1 = jax.jit(make_train_step(sp_det, matcher, tx, opt))
+        step2 = jax.jit(make_train_step(sp_det, matcher, tx, opt, grad_accum=2))
+        key = jax.random.PRNGKey(3)
+        s1, m1 = step1(state, sp_vars, batch, key)
+        s2, m2 = step2(state, sp_vars, dup, key)
+        np.testing.assert_allclose(float(m1["train_loss"]),
+                                   float(m2["train_loss"]), rtol=1e-5)
+        for a, b, p0 in zip(jax.tree_util.tree_leaves(s1.params),
+                            jax.tree_util.tree_leaves(s2.params),
+                            jax.tree_util.tree_leaves(state.params)):
+            # compare the UPDATES (lr * grad), not raw params, so the
+            # tolerance scales with the gradient
+            # atol floor: (a - p0) quantizes at the PARAM ulp, not the update's
+            np.testing.assert_allclose(np.asarray(a - p0), np.asarray(b - p0),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_stage2_step_with_pose_loss(self):
         sp, matcher, tx, opt, state, sp_vars, batch = tiny_setup(pose_loss=True)
         step = jax.jit(make_train_step(sp, matcher, tx, opt))

@@ -43,7 +43,7 @@ GNN = default_gnn_layers(7, 3)
 key = jax.random.PRNGKey(0)
 
 
-def run(B, dtype, impl="xla"):
+def run(B, dtype, impl="xla", grad_accum=1):
     rng = np.random.default_rng(0)
     sp = SuperPoint(SuperPointConfig(
         nms_radius=4, keypoint_threshold=1e-3, max_keypoints=K,
@@ -73,7 +73,8 @@ def run(B, dtype, impl="xla"):
     m_vars = matcher.init(key, jnp.zeros((1, V, K, 2)), jnp.zeros((1, V, K)),
                           jnp.zeros((1, V, K, D)), jnp.full((1, V, 2), float(H)))
     state = create_train_state(m_vars["params"], m_vars["batch_stats"], tx)
-    step_fn = jax.jit(make_train_step(sp, matcher, tx, opt))
+    step_fn = jax.jit(make_train_step(sp, matcher, tx, opt,
+                                      grad_accum=grad_accum))
 
     t_compile0 = time.perf_counter()
     state, metrics = step_fn(state, sp_vars, batch, key)
@@ -89,7 +90,8 @@ def run(B, dtype, impl="xla"):
     # fwd FLOPs: frozen SuperPoint fwd only; matcher fwd+bwd ~ 3x fwd
     fl = superpoint_flops(B * V, H, W) + 3 * matcher_flops(B, V, K, D, GNN)
     mfu = fl / t / V5E_PEAK_FLOPS
-    print(f"B={B:2d} {dtype:8s} {impl:6s}: {t * 1e3:7.1f} ms/step = "
+    acc = f" accum={grad_accum}" if grad_accum > 1 else ""
+    print(f"B={B:2d} {dtype:8s} {impl:6s}{acc}: {t * 1e3:7.1f} ms/step = "
           f"{B / t:6.2f} tuples/s, "
           f"MFU {mfu * 100:4.1f}%  (loss {float(np.asarray(metrics['train_loss'])):.2f}, "
           f"compile {t_compile:.0f}s)", flush=True)
@@ -97,15 +99,16 @@ def run(B, dtype, impl="xla"):
 
 
 if __name__ == "__main__":
-    configs = [(B, dt, "xla") for dt in ("float32", "bfloat16")
+    configs = [(B, dt, "xla", 1) for dt in ("float32", "bfloat16")
                for B in (2, 8, 16)]
-    if len(sys.argv) > 1:  # e.g. "16:float32,2:bfloat16:pallas"
+    if len(sys.argv) > 1:  # e.g. "16:float32,2:bfloat16:pallas,32:bfloat16:pallas:4"
         configs = [tuple(s.split(":")) for s in sys.argv[1].split(",")]
-        configs = [(int(c[0]), c[1], c[2] if len(c) > 2 else "xla")
+        configs = [(int(c[0]), c[1], c[2] if len(c) > 2 else "xla",
+                    int(c[3]) if len(c) > 3 else 1)
                    for c in configs]
-    for B, dtype, impl in configs:
+    for B, dtype, impl, accum in configs:
         try:
-            run(B, dtype, impl)
+            run(B, dtype, impl, accum)
         except Exception as e:
-            print(f"B={B:2d} {dtype:8s} {impl:6s}: FAILED ({type(e).__name__}: "
-                  f"{str(e)[:120]})", flush=True)
+            print(f"B={B:2d} {dtype:8s} {impl:6s} accum={accum}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
