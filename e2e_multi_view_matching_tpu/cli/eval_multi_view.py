@@ -55,7 +55,17 @@ def parse_args(argv=None):
                              "lossless on the synthetic quality gate only -- "
                              "not validated on real descriptors")
     parser.add_argument("--eval_batch", type=int, default=8,
-                        help="tuples evaluated per device dispatch")
+                        help="tuples evaluated per device dispatch. NOTE: the "
+                             "depth-2 dispatch pipeline keeps TWO chunks' "
+                             "inputs + program state resident on device, so "
+                             "peak HBM for chunk tensors is ~2x; if a large "
+                             "config OOMs, halve eval_batch or pass "
+                             "--no_pipeline")
+    parser.add_argument("--no_pipeline", action="store_true",
+                        help="disable the depth-2 dispatch pipeline (one chunk "
+                             "resident at a time; recovers the lower-memory "
+                             "sequential behavior at ~1 extra dispatch latency "
+                             "per chunk)")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="shard each eval chunk over this many devices "
                              "(data axis of a jax.sharding.Mesh; the fused "
@@ -174,12 +184,16 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
                 kpts, intr_b, matches0, conf, pipeline_cfg)
         return samples, extr_dev
 
+    pipeline = not getattr(opt, "no_pipeline", False)
     chunk_starts = list(range(0, n, eval_batch))
-    in_flight = dispatch(chunk_starts[0]) if chunk_starts else None
+    in_flight = dispatch(chunk_starts[0]) if (chunk_starts and pipeline) else None
     for ci, lo in enumerate(chunk_starts):
-        samples, extr_dev = in_flight
-        if ci + 1 < len(chunk_starts):  # keep the next chunk in flight
-            in_flight = dispatch(chunk_starts[ci + 1])
+        if pipeline:
+            samples, extr_dev = in_flight
+            if ci + 1 < len(chunk_starts):  # keep the next chunk in flight
+                in_flight = dispatch(chunk_starts[ci + 1])
+        else:
+            samples, extr_dev = dispatch(lo)
         extr_b = np.asarray(extr_dev)[:len(samples)]
         for sample, extr in zip(samples, extr_b):
             for j in range(V):

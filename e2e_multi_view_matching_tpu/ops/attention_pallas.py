@@ -81,6 +81,14 @@ def _cross_attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     FLOPs (and the whole mask computation) disappear instead of being computed
     and discarded. Running max/denominator/accumulator live in VMEM scratch
     across the innermost grid dimension (the standard online-softmax pattern).
+
+    Numerics: the online-softmax rescaling reorders the f32 summation, so
+    outputs drift from the one-shot XLA softmax by up to ~1e-3 at eval shapes
+    (V=5, K=1024; measured on hardware, tools/attn_kernel_bench.py) -- growing
+    with the summed token count V*K. The drift is pinned by
+    tests/test_ops_models.py::test_chunked_softmax_drift_bounded; the custom
+    VJP differentiates the same online formulation (stashed LSE), so forward
+    and backward are mutually consistent.
     """
     w = pl.program_id(2)
 

@@ -9,10 +9,13 @@ at B in {8, 12, 16} (same shapes as bench.py otherwise) and prints a table.
 Run: PALLAS_AXON_REMOTE_COMPILE=1 python tools/fused_chunk_probe.py [B ...]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -101,6 +101,9 @@ for B, K in ((10, 1024), (10, 2048), (80, 1024)):
     if "xla" in base:
         for name in ("mxu", "pallas", "pal_log"):
             if name in base:
-                sp = (base["xla"] - OVH) / max(base[name] - OVH, 1e-9)
-                print(f"K={K} {name} speedup vs xla (ovh-subtracted): {sp:.2f}x",
+                net_x = base["xla"] - OVH
+                net_n = base[name] - OVH
+                sp_str = (f"{net_x / net_n:.2f}x"
+                          if min(net_x, net_n) > 1e-4 else "under dispatch noise")
+                print(f"K={K} {name} speedup vs xla (ovh-subtracted): {sp_str}",
                       flush=True)
