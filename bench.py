@@ -113,6 +113,8 @@ def superpoint_flops(n_images, H, W):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -129,10 +131,41 @@ def main():
         multi_view_pose_pipeline_batch,
     )
 
-    B, V, K, D = 8, 5, 1024, 256
+    ap = argparse.ArgumentParser(description="e2e bench")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="shard the fused eval chunk over this many devices "
+                         "(data axis); per-device batch stays 8, so the "
+                         "global chunk is 8*N tuples -- the weak-scaling "
+                         "harness (BASELINE.md round-4 scaling procedure). "
+                         "N must divide len(jax.devices()).")
+    args, _ = ap.parse_known_args()
+    dp = max(1, args.data_parallel)
+
+    B, V, K, D = 8 * dp, 5, 1024, 256
     H, W = 480, 640  # ScanNet eval resolution (depth-sized frames)
     gnn_layers = default_gnn_layers(7, 3)  # tuple>2 scannet config
     rng = np.random.default_rng(0)
+
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from e2e_multi_view_matching_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=dp, model_parallel=1)
+        _shard = NamedSharding(mesh, P("data"))
+        _repl = NamedSharding(mesh, P())
+
+        def place(x):
+            return jax.device_put(x, _shard)
+
+        def replicate(tree):
+            return jax.device_put(tree, _repl)
+    else:
+        def place(x):
+            return x
+
+        def replicate(tree):
+            return tree
 
     # ---- fixed dispatch overhead of the tunnel --------------------------
     trivial = jax.jit(lambda x: x + 1.0)
@@ -144,9 +177,10 @@ def main():
         nms_radius=4, keypoint_threshold=1e-3, max_keypoints=K,
         remove_borders=4, fill_with_random_keypoints=True,
     ))
-    images = jnp.asarray(rng.uniform(size=(B * V, H, W, 1)).astype(np.float32))
+    images = place(jnp.asarray(rng.uniform(size=(B * V, H, W, 1)).astype(np.float32)))
     key = jax.random.PRNGKey(0)
-    sp_vars = sp.init({"params": key, "keypoints": key}, images[:1])
+    sp_vars = replicate(sp.init({"params": key, "keypoints": key},
+                                jnp.zeros((1, H, W, 1))))
 
     @jax.jit
     def sp_fwd(variables, images, rng_):
@@ -173,9 +207,12 @@ def main():
     kpts = sp_out["keypoints"].reshape(B, V, K, 2)
     scores = sp_out["scores"].reshape(B, V, K)
     descs = sp_out["descriptors"].reshape(B, V, K, D)
-    image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
-    variables = matcher.init(jax.random.PRNGKey(0), kpts[:1], scores[:1],
-                             descs[:1], image_size[:1])
+    image_size = place(jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W))
+    variables = replicate(matcher.init(jax.random.PRNGKey(0),
+                                       jax.device_get(kpts[:1]),
+                                       jax.device_get(scores[:1]),
+                                       jax.device_get(descs[:1]),
+                                       jax.device_get(image_size[:1])))
 
     @jax.jit
     def m_fwd(variables, kpts, scores, descs, image_size):
@@ -232,7 +269,7 @@ def main():
     )
 
     pcfg = MultiViewPipelineConfig()
-    intr_dev = jnp.asarray(intr)
+    intr_dev = place(jnp.asarray(intr))
 
     @jax.jit
     def fused_e2e_fn(sp_vars, m_vars, images, intr_, image_size, rng_):
@@ -260,7 +297,9 @@ def main():
     tuples_per_s = 1.0 / t_tuple
     e2e_mfu = (sp_f + m_f) / t_fused / V5E_PEAK_FLOPS
     print(f"end-to-end eval (fused): {t_tuple * 1e3:.1f} ms/tuple = "
-          f"{tuples_per_s:.2f} tuples/s, pipeline MFU {e2e_mfu * 100:.1f}%",
+          f"{tuples_per_s:.2f} tuples/s, pipeline MFU {e2e_mfu * 100:.1f}%"
+          + (f"  [data_parallel={dp}: {tuples_per_s / dp:.2f} tuples/s/device, "
+             f"global chunk B={B}]" if dp > 1 else ""),
           flush=True)
 
     # ---- stage 4: one full training step ---------------------------------
