@@ -19,6 +19,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e2e_multi_view_matching_tpu.data.sampling import create_sequential_subsets
 from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset, batch_iterator
@@ -93,6 +94,10 @@ def parse_args(argv=None):
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--profile_steps", type=str, default=None,
                         help="'start,end' step window for a jax.profiler trace")
+    parser.add_argument("--dump_first_grad", type=str, default=None,
+                        help="debug: save the FIRST step's pre-optimizer "
+                             "gradients to this .npz (parity testing; each "
+                             "process appends _p<idx>)")
     return parser.parse_args(argv)
 
 
@@ -206,7 +211,8 @@ def main(argv=None):
         log.info("initialized from %s (missing=%s)", opt.init_exp_name, info["missing"])
 
     train_step = jax.jit(make_train_step(superpoint, matcher, tx, opt,
-                                         grad_accum=opt.grad_accum))
+                                         grad_accum=opt.grad_accum,
+                                         return_grads=bool(opt.dump_first_grad)))
     eval_step = jax.jit(make_eval_step(superpoint, matcher, opt))
 
     # each process feeds its slice of the global batch (DistributedSampler role)
@@ -223,6 +229,7 @@ def main(argv=None):
         time_tracker = TimeTracker()
         metrics_tracker = MeanTracker()
         global_step = int(state.step)
+        start_step = global_step
         for epoch in range(start_epoch, opt.n_epochs):
             if epoch > start_epoch:
                 train_dataset.start_epoch()
@@ -238,6 +245,17 @@ def main(argv=None):
                 )
                 profiler.maybe_start(global_step)
                 state, metrics = train_step(state, sp_vars, device_batch, step_key)
+                if opt.dump_first_grad:
+                    grads = metrics.pop("grads")
+                    if global_step == start_step:
+                        flat = {
+                            f"g{i}": np.asarray(jax.device_get(
+                                leaf.addressable_data(0)))
+                            for i, leaf in enumerate(
+                                jax.tree_util.tree_leaves(grads))
+                        }
+                        np.savez(f"{opt.dump_first_grad}_p{proc_idx}.npz",
+                                 **flat)
                 metrics_tracker.add({k: float(v) for k, v in metrics.items()})
                 time_tracker.finish_batch()
                 global_step += 1

@@ -32,7 +32,8 @@ def create_train_state(params, batch_stats, tx):
         pose_match_ratio=jnp.zeros(()),
     )
 
-def make_train_step(superpoint, matcher, tx, opt, grad_accum: int = 1):
+def make_train_step(superpoint, matcher, tx, opt, grad_accum: int = 1,
+                    return_grads: bool = False):
     """Build the jitted train step.
 
     Args:
@@ -168,6 +169,12 @@ def make_train_step(superpoint, matcher, tx, opt, grad_accum: int = 1):
             pose_match_ratio=new_ratio,
         )
         metrics = {"train_loss": total, **scaled}
+        if return_grads:
+            # pre-optimizer gradients, for parity tests (multi-process vs
+            # single-process comparison must happen BEFORE Adam, which
+            # amplifies reduction-order ulps on near-zero grads into
+            # sign-flipped lr-sized updates)
+            metrics["grads"] = grads
         return new_state, metrics
 
     return train_step

@@ -41,6 +41,9 @@ state = train_cli.main([
     "--dataset", "scannet", "--tuple_size", "2", "--batch_size", "2",
     "--n_epochs", "2", "--max_steps", "3", "--i_train", "1",
     "--sinkhorn_iterations", "10", "--no_tensorboard",
+    # first-step PRE-ADAM gradients: the parity quantity (Adam amplifies
+    # reduction-order ulps on near-zero grads into sign flips)
+    "--dump_first_grad", out_npz + ".grad",
 ])
 
 leaves = jax.tree_util.tree_leaves(state.params)
