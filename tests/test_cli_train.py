@@ -48,6 +48,31 @@ def test_train_cli_smoke(train_env, monkeypatch):
     assert os.path.exists(os.path.join(exp_dir, "best_model.ckpt"))
 
 
+def test_train_cli_grad_accum_on_mesh(train_env, tmp_path):
+    """--grad_accum 2 through the REAL trainer on the 8-device data mesh: the
+    microbatch-scan reshape must compose with batch sharding (XLA inserts the
+    reshard) and produce finite, updating parameters."""
+    import jax
+
+    data_dir, _ = train_env
+    from e2e_multi_view_matching_tpu.cli import train as train_cli
+
+    ckpt = str(tmp_path / "accum")
+    os.makedirs(ckpt, exist_ok=True)
+    state = train_cli.main([
+        "--data_dir", data_dir, "--checkpoint_dir", ckpt,
+        "--dataset", "scannet", "--tuple_size", "3", "--batch_size", "1",
+        "--grad_accum", "2", "--n_epochs", "2", "--max_steps", "1",
+        "--i_train", "1", "--sinkhorn_iterations", "10", "--no_tensorboard",
+    ])
+    assert int(state.step) == 1
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    cfg = json.load(open(os.path.join(
+        ckpt, [e for e in os.listdir(ckpt) if e != "runs"][0], "cfg.json")))
+    assert cfg["grad_accum"] == 2
+
+
 def test_train_cli_model_parallel_shards_and_matches(train_env, tmp_path):
     """--model_parallel 2 on the real trainer must (a) actually shard wide
     kernels over the model axis and (b) produce the same trained parameters as
