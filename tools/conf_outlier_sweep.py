@@ -19,6 +19,13 @@ beats matching-score weighting) as a CURVE:
   score weighting vs conf weighting vs the oracle (1 on true points), on the
   SAME matches, 24 fresh scenes per rate.
 
+Committed result (2000+2000 steps, ~28 min CPU): score-weighted AUC = 0 at
+EVERY rate (the converged matcher matches 0.96+ of the descriptor twins, so
+matching scores cannot reject them), conf-weighted AUC@20 = 63.9 -> 49.6
+across rates 10 -> 50% (oracle ceiling 75-85), conf on matched outliers
+0.001 vs 0.55-0.63 on true points. At 1200+1500 steps stage 1 is NOT
+converged and every weighting reads ~0 -- do not shorten the run.
+
 Writes tools/conf_outlier_sweep_result.json (indexed in tools/RESULTS.md).
 
 Run: PYTHONPATH=. JAX_PLATFORMS=cpu python tools/conf_outlier_sweep.py [S1] [S2]
@@ -141,8 +148,10 @@ def step1(params, bstats, opt_state, bk, bs_, bd, bgi, bgw):
     return optax.apply_updates(params, u), nbs, opt_state, l
 
 
-S1 = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
-S2 = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+# 2000+2000 is the committed-result recipe: at 1200+1500 stage 1 has not
+# converged (loss still descending at s1@1200) and every weighting reads ~0.
+S1 = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+S2 = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 train_rate = lambda: float(rng.uniform(0.1, 0.5))
 t0 = time.time()
 for s in range(S1):
@@ -214,12 +223,17 @@ def eval_rate(rate):
     oracle = jnp.asarray((~outm) & true_lab, jnp.float32)
     conf = np.asarray(out["conf_scores"][:, 0])
     mm = m0n >= 0
+    correct = mm & (m0n == gt0)
     return {
         "outlier_rate": rate,
         "outlier_matched_frac": round(float(mm[outm].mean()), 3),
+        "true_matched_frac": round(float(mm[true_lab].mean()), 3),
+        "true_correct_frac": round(float(correct[true_lab].mean()), 3),
+        "correct_per_case": round(float(correct.sum(1).mean()), 1),
         "score_w_auc": auc_w(out["matching_scores0"][:, 0]),
         "conf_w_auc": auc_w(out["conf_scores"][:, 0]),
         "oracle_w_auc": auc_w(oracle),
+        "oracle_corr_auc": auc_w(jnp.asarray(correct, jnp.float32)),
         "conf_on_outliers": round(float(conf[mm & outm].mean()), 3)
         if (mm & outm).any() else None,
         "conf_on_true": round(float(conf[mm & true_lab].mean()), 3),
@@ -232,7 +246,9 @@ for row in curve:
                                               row["score_w_auc"])]
     print(f"rate {row['outlier_rate']:.1f}: score {row['score_w_auc']} "
           f"conf {row['conf_w_auc']} (margin {margin}) "
-          f"oracle {row['oracle_w_auc']} "
+          f"oracle {row['oracle_w_auc']} corr {row['oracle_corr_auc']} "
+          f"match t/c/o {row['true_matched_frac']}/{row['true_correct_frac']}"
+          f"/{row['outlier_matched_frac']} "
           f"conf out/true {row['conf_on_outliers']}/{row['conf_on_true']}",
           flush=True)
 
