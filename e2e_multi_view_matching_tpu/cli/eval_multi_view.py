@@ -61,6 +61,14 @@ def parse_args(argv=None):
                              "peak HBM for chunk tensors is ~2x; if a large "
                              "config OOMs, halve eval_batch or pass "
                              "--no_pipeline")
+    parser.add_argument("--eval_scan", type=int, default=2,
+                        help="sub-chunks per dispatch: each dispatch runs "
+                             "eval_scan x eval_batch tuples as a lax.map over "
+                             "eval_batch-sized sub-chunks, amortizing the "
+                             "per-dispatch host round trip while the compiled "
+                             "program stays eval_batch-sized (the measured "
+                             "knee: 8 -> 2x8 per dispatch = +10% e2e, "
+                             "4x8 = +13%; tools/fused_chunk_probe.py)")
     parser.add_argument("--no_pipeline", action="store_true",
                         help="disable the depth-2 dispatch pipeline (one chunk "
                              "resident at a time; recovers the lower-memory "
@@ -107,9 +115,12 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
              pipeline_cfg=MultiViewPipelineConfig()):
     """Run the benchmark loop; returns (pose, transl, rot) error lists.
 
-    Tuples are evaluated `opt.eval_batch` at a time: SuperPoint + matcher run
-    on a (B*V)-image / B-tuple batch and the pose pipeline is the batched
-    variant (two device dispatches per chunk instead of two per tuple)."""
+    Tuples are evaluated `opt.eval_scan * opt.eval_batch` per dispatch: each
+    dispatch lax.maps over `eval_scan` sub-chunks of `eval_batch` tuples
+    (SuperPoint + matcher + fused pose pipeline per sub-chunk), so the
+    compiled program stays eval_batch-sized while the per-dispatch host round
+    trip is amortized over the whole chunk (measured knee: 2x8 per dispatch =
+    +10% e2e over 1x8, 4x8 = +13%; `tools/fused_chunk_probe.py`)."""
     pose_errors = ([], [], [])
     V = opt.tuple_size
     fuse = pipeline_cfg.init_mode == "w8pt_ba"
@@ -120,7 +131,9 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         from e2e_multi_view_matching_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_devices=dp, model_parallel=1)
-        shard_b = NamedSharding(mesh, P("data"))
+        # chunk arrays carry a leading sub-chunk (scan) axis; the batch axis
+        # they shard over is axis 1
+        shard_b = NamedSharding(mesh, P(None, "data"))
         rep = NamedSharding(mesh, P())
         sp_vars = jax.device_put(sp_vars, rep)
         m_vars = jax.device_put(m_vars, rep)
@@ -131,8 +144,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         def place(x):
             return x
 
-    @jax.jit
-    def infer(sp_vars, m_vars, images, intr, image_size, rng):
+    def infer_subchunk(sp_vars, m_vars, images, intr, image_size, rng):
         # images (B, V, H, W, 1) -> one SuperPoint batch over all B*V frames
         B = images.shape[0]
         sp_out = superpoint.apply(
@@ -153,10 +165,26 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
             return kpts, out["matches0"], out["conf_scores"], extr
         return kpts, out["matches0"], out["conf_scores"], None
 
+    @jax.jit
+    def infer(sp_vars, m_vars, images, intr, image_size, rng):
+        """Chunk arrays carry a leading (S,) sub-chunk axis: ONE dispatch
+        covers S * eval_batch tuples while the compiled program body stays
+        eval_batch-sized (lax.map; the tunnel's compile helper rejects flat
+        programs past B~8 -- same workaround as the trainer's --grad_accum)."""
+        if images.shape[0] == 1:  # preserve the flat single-sub-chunk program
+            out = infer_subchunk(sp_vars, m_vars, images[0], intr[0],
+                                 image_size[0], rng)
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+        return jax.lax.map(
+            lambda a: infer_subchunk(sp_vars, m_vars, a[0], a[1], a[2], rng),
+            (images, intr, image_size))
+
     descs_dim = matcher.config.descriptor_dim
     rng = jax.random.PRNGKey(0)
     n = len(dataset) if opt.max_tuples is None else min(opt.max_tuples, len(dataset))
     eval_batch = max(1, getattr(opt, "eval_batch", 1))
+    scan = max(1, getattr(opt, "eval_scan", 1))
+    chunk_len = eval_batch * scan
 
     def dispatch(lo):
         """Enqueue one chunk; returns (samples, device handle or host array).
@@ -164,28 +192,34 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
         JAX dispatch is asynchronous: keeping one chunk in flight overlaps the
         tunnel's ~25 ms host round trip with device compute (+8% measured
         end-to-end throughput, `tools/fused_pipeline_probe.py`)."""
-        idxs = range(lo, min(lo + eval_batch, n))
+        idxs = range(lo, min(lo + chunk_len, n))
         samples = [dataset[i] for i in idxs]
-        B = len(samples)
-        # short final chunks pad up to a dp multiple (outputs sliced back)
-        padded = samples + [samples[-1]] * (-B % dp)
-        images = place(jnp.asarray(np.stack([s["images"] for s in padded])))
-        H, W = images.shape[2:4]
-        image_size = place(jnp.full((len(padded), V, 2), 0.0)
+        # per-program batch is a dp multiple; the chunk pads to a whole
+        # (S, B0) grid so every full chunk reuses one compiled program
+        B0 = -(-eval_batch // dp) * dp
+        S = -(-len(samples) // B0)
+        padded = samples + [samples[-1]] * (S * B0 - len(samples))
+        images = place(jnp.asarray(np.stack(
+            [s["images"] for s in padded]).reshape(
+                (S, B0) + padded[0]["images"].shape)))
+        H, W = images.shape[3:5]
+        image_size = place(jnp.full((S, B0, V, 2), 0.0)
                            .at[..., 0].set(H).at[..., 1].set(W))
         nonlocal rng
         rng, key = jax.random.split(rng)
-        intr_b = place(jnp.asarray(
-            np.stack([s["intr"][:, :3, :3] for s in padded])))
+        intr_np = np.stack([s["intr"][:, :3, :3] for s in padded])
+        intr_b = place(jnp.asarray(intr_np.reshape((S, B0, V, 3, 3))))
         kpts, matches0, conf, extr_dev = infer(
             sp_vars, m_vars, images, intr_b, image_size, key)
         if extr_dev is None:  # unfused init modes: host pipeline, synchronous
+            flat = lambda x: x.reshape((S * B0,) + x.shape[2:])
             extr_dev = multi_view_pose_pipeline_batch(
-                kpts, intr_b, matches0, conf, pipeline_cfg)
+                flat(kpts), jnp.asarray(intr_np), flat(matches0), flat(conf),
+                pipeline_cfg)
         return samples, extr_dev
 
     pipeline = not getattr(opt, "no_pipeline", False)
-    chunk_starts = list(range(0, n, eval_batch))
+    chunk_starts = list(range(0, n, chunk_len))
     in_flight = dispatch(chunk_starts[0]) if (chunk_starts and pipeline) else None
     for ci, lo in enumerate(chunk_starts):
         if pipeline:
@@ -194,7 +228,9 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
                 in_flight = dispatch(chunk_starts[ci + 1])
         else:
             samples, extr_dev = dispatch(lo)
-        extr_b = np.asarray(extr_dev)[:len(samples)]
+        # fused path is (S, B0, V, 4, 4), unfused (S*B0, V, 4, 4); both
+        # flatten to chunk order with padding sliced off the tail
+        extr_b = np.asarray(extr_dev).reshape(-1, V, 4, 4)[:len(samples)]
         for sample, extr in zip(samples, extr_b):
             for j in range(V):
                 for i in range(j):
@@ -212,7 +248,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset,
                     pose_errors[0].append(max(err_t, err_R))
                     pose_errors[1].append(err_t)
                     pose_errors[2].append(err_R)
-        log.info("tuple %d/%d done", min(lo + eval_batch, n), n)
+        log.info("tuple %d/%d done", min(lo + chunk_len, n), n)
     return pose_errors
 
 

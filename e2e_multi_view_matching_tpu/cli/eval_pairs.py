@@ -58,7 +58,15 @@ def parse_args(argv=None):
                              "lossless on the synthetic quality gate only -- "
                              "not validated on real descriptors")
     parser.add_argument("--eval_batch", type=int, default=8,
-                        help="same-bucket pairs evaluated per device dispatch")
+                        help="same-bucket pairs per compiled sub-chunk")
+    parser.add_argument("--eval_scan", type=int, default=2,
+                        help="sub-chunks per dispatch: each dispatch lax.maps "
+                             "eval_scan sub-chunks of eval_batch pairs, "
+                             "amortizing the per-dispatch host round trip "
+                             "while the compiled program stays "
+                             "eval_batch-sized (knee measured on the fused "
+                             "multi-view path: 2x8 = +10%, 4x8 = +13% e2e; "
+                             "tools/fused_chunk_probe.py)")
     parser.add_argument("--shape_bucket", type=int, default=128,
                         help="pad images up to multiples of this so "
                              "variable-shape datasets (megadepth/yfcc resize "
@@ -95,9 +103,9 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
     Pairs are grouped into SHAPE BUCKETS (dims rounded up to multiples of
     `opt.shape_bucket`, images zero-padded onto the bucket canvas, SuperPoint
     masking scores beyond each image's true extent): same-bucket pairs run
-    `opt.eval_batch` at a time as ONE compiled program with ONE packed
-    device->host fetch (the reference's loop ran per pair --
-    `eval_pairs.py:210`). Variable-shape datasets (megadepth/yfcc, aspect-
+    `opt.eval_scan * opt.eval_batch` per dispatch -- a lax.map over
+    eval_batch-sized compiled sub-chunks with ONE packed device->host fetch
+    (the reference's loop ran per pair -- `eval_pairs.py:210`). Variable-shape datasets (megadepth/yfcc, aspect-
     preserving resize to long side 1600) therefore compile O(bucket pairs)
     programs with full chunks instead of O(exact shapes) with chunks of ~1.
     Host RANSAC stays per-pair.
@@ -114,7 +122,9 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         from e2e_multi_view_matching_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_devices=dp, model_parallel=1)
-        shard_b = NamedSharding(mesh, P("data"))
+        # chunk arrays carry a leading sub-chunk (scan) axis; the batch axis
+        # they shard over is axis 1
+        shard_b = NamedSharding(mesh, P(None, "data"))
         sp_vars = jax.device_put(sp_vars, NamedSharding(mesh, P()))
         m_vars = jax.device_put(m_vars, NamedSharding(mesh, P()))
 
@@ -124,8 +134,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         def place(x):
             return x
 
-    @jax.jit
-    def infer_batch(images0, images1, image_size, valid0, valid1):
+    def infer_batch_body(images0, images1, image_size, valid0, valid1):
         """(B, H0, W0, 1) x (B, H1, W1, 1) -> per-pair matcher outputs.
 
         `valid0/1` are the per-image true (h, w) extents; images are padded
@@ -140,15 +149,14 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         out = matcher.apply(m_vars, kpts, scores, descs, image_size)
         return kpts, out["matches0"][:, 0], out["conf_scores"][:, 0]
 
-    @jax.jit
-    def infer_pose_batch(images0, images1, image_size, valid0, valid1, K0, K1):
+    def infer_pose_body(images0, images1, image_size, valid0, valid1, K0, K1):
         """SuperPoint -> matcher -> batched w8pt-family pose in ONE program.
 
-        The w8pt eval modes are fully traceable, so the whole chunk runs as a
-        single device dispatch with a single packed fetch (the ransac modes
-        keep the split path -- host OpenCV sits in the middle)."""
-        kpts, matches, conf = infer_batch(images0, images1, image_size,
-                                          valid0, valid1)
+        The w8pt eval modes are fully traceable, so the whole sub-chunk runs
+        on device with a single packed result (the ransac modes keep the
+        split path -- host OpenCV sits in the middle)."""
+        kpts, matches, conf = infer_batch_body(images0, images1, image_size,
+                                               valid0, valid1)
         conf_mask = (matches >= 0) & (conf > match_threshold)
         conf_w = jnp.where(conf_mask, conf, 0.0)
         gather = jnp.clip(matches, 0, kpts.shape[2] - 1)
@@ -156,6 +164,23 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         T_pred, valid_p = pose_w8pt_batch(kpts, mk1, K0, K1, conf_w)
         return jnp.concatenate(
             [jnp.ravel(T_pred), valid_p.astype(jnp.float32).ravel()])
+
+    def _scanned(body):
+        """Wrap a sub-chunk body: inputs carry a leading (S,) sub-chunk axis
+        and ONE dispatch covers S * eval_batch pairs, lax.map keeping the
+        compiled program eval_batch-sized (the tunnel's compile helper rejects
+        flat programs past B~8 -- same workaround as the trainer's
+        --grad_accum)."""
+        @jax.jit
+        def run(*args):
+            if args[0].shape[0] == 1:  # preserve the flat one-sub-chunk program
+                out = body(*(a[0] for a in args))
+                return jax.tree_util.tree_map(lambda x: x[None], out)
+            return jax.lax.map(lambda a: body(*a), args)
+        return run
+
+    infer_batch = _scanned(infer_batch_body)
+    infer_pose_batch = _scanned(infer_pose_body)
 
     def pose_w8pt_batch(kpts, mk1, K0, K1, conf_w):
         """Batched w8pt / w8pt_ba / w8pt_irls_ba over a chunk."""
@@ -195,13 +220,15 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         idxs = [c[0] for c in chunk]
         datas = [c[1] for c in chunk]
         w8pt = opt.eval_mode.startswith("w8pt")
-        # pad every chunk to the full eval_batch (a device multiple) so each
-        # bucket pair compiles exactly ONE program regardless of tail length;
-        # padded slots repeat the last pair and are sliced away on collect
+        # pad every chunk to a full (S, B0) grid (B0 = eval_batch padded to a
+        # device multiple) so each bucket pair compiles exactly ONE program
+        # regardless of tail length; padded slots repeat the last pair and
+        # are sliced away on collect
         eval_batch = max(1, getattr(opt, "eval_batch", 1))
-        target = -(-eval_batch // dp) * dp
-        pdatas = datas + [datas[-1]] * (target - len(datas))
-        n_signatures.add((buckets, target))
+        B0 = -(-eval_batch // dp) * dp
+        S = -(-len(datas) // B0)
+        pdatas = datas + [datas[-1]] * (S * B0 - len(datas))
+        n_signatures.add((buckets, S, B0))
 
         def canvas(img, bucket):
             h, w = img.shape[:2]
@@ -212,47 +239,47 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
             out[:h, :w] = img
             return out
 
-        images0 = place(jnp.asarray(
-            np.stack([canvas(d["image0"], buckets[0]) for d in pdatas])))
-        images1 = place(jnp.asarray(
-            np.stack([canvas(d["image1"], buckets[1]) for d in pdatas])))
-        valid0 = place(jnp.asarray(
-            [d["image0"].shape[:2] for d in pdatas], dtype=jnp.int32))
-        valid1 = place(jnp.asarray(
-            [d["image1"].shape[:2] for d in pdatas], dtype=jnp.int32))
-        sizes = place(jnp.asarray(
-            [[d["image0"].shape[:2], d["image1"].shape[:2]] for d in pdatas],
-            dtype=jnp.float32,
-        ))
+        def pl(arr, dtype=None):
+            a = np.asarray(arr, dtype=dtype)
+            return place(jnp.asarray(a.reshape((S, B0) + a.shape[1:])))
+
+        images0 = pl(np.stack([canvas(d["image0"], buckets[0]) for d in pdatas]))
+        images1 = pl(np.stack([canvas(d["image1"], buckets[1]) for d in pdatas]))
+        valid0 = pl([d["image0"].shape[:2] for d in pdatas], np.int32)
+        valid1 = pl([d["image1"].shape[:2] for d in pdatas], np.int32)
+        sizes = pl([[d["image0"].shape[:2], d["image1"].shape[:2]]
+                    for d in pdatas], np.float32)
         K0 = np.stack([d["intr0"][:3, :3] for d in pdatas])
         K1 = np.stack([d["intr1"][:3, :3] for d in pdatas])
         if w8pt:
             handle = infer_pose_batch(
-                images0, images1, sizes, valid0, valid1,
-                place(jnp.asarray(K0)), place(jnp.asarray(K1)))
+                images0, images1, sizes, valid0, valid1, pl(K0), pl(K1))
         else:
             handle = infer_batch(images0, images1, sizes, valid0, valid1)
-        return idxs, datas, len(pdatas), K0, K1, handle
+        return idxs, datas, (S, B0), K0, K1, handle
 
     def collect(state):
         nonlocal cannot_compute
-        idxs, datas, Bp, K0, K1, handle = state
+        idxs, datas, (S, B0), K0, K1, handle = state
         w8pt = opt.eval_mode.startswith("w8pt")
         rets = [None] * len(datas)
         if w8pt:
             # fully on-device: one dispatch + one packed fetch per chunk
             B = len(datas)
-            packed = np.asarray(handle)
-            T_pred = packed[: Bp * 16].reshape(Bp, 4, 4)
-            valid_p = packed[Bp * 16:] > 0.5
+            packed = np.asarray(handle).reshape(S, -1)
+            T_pred = packed[:, : B0 * 16].reshape(S * B0, 4, 4)
+            valid_p = packed[:, B0 * 16:].reshape(S * B0) > 0.5
             for b in range(B):
                 if bool(valid_p[b]):
                     rets[b] = (T_pred[b][:3, :3], T_pred[b][:3, 3], None)
         else:
             kpts_b, matches_b, conf_b = handle
             kpts_b = np.asarray(kpts_b)
+            kpts_b = kpts_b.reshape((-1,) + kpts_b.shape[2:])
             matches_b = np.asarray(matches_b)
+            matches_b = matches_b.reshape((-1,) + matches_b.shape[2:])
             conf_b = np.asarray(conf_b)
+            conf_b = conf_b.reshape((-1,) + conf_b.shape[2:])
             conf_mask = (matches_b >= 0) & (conf_b > match_threshold)
             for b in range(len(datas)):
                 kpts, matches, conf = kpts_b[b], matches_b[b], conf_b[b]
@@ -291,6 +318,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
 
     n = len(dataset) if opt.max_pairs is None else min(opt.max_pairs, len(dataset))
     eval_batch = max(1, getattr(opt, "eval_batch", 1))
+    chunk_len = eval_batch * max(1, getattr(opt, "eval_scan", 1))
     bucket = max(0, getattr(opt, "shape_bucket", 128))
     in_flight = None  # one dispatched chunk kept in flight (depth-2 pipeline)
 
@@ -317,7 +345,7 @@ def evaluate(opt, superpoint, sp_vars, matcher, m_vars, dataset):
         key = (bucket_of(data["image0"].shape), bucket_of(data["image1"].shape))
         c = open_chunks.setdefault(key, [])
         c.append((i, data))
-        if len(c) >= eval_batch:
+        if len(c) >= chunk_len:
             flush(c, key)
             open_chunks[key] = []
     for key, c in open_chunks.items():

@@ -358,3 +358,87 @@ def test_eval_pairs_data_parallel_matches_single(eval_env):
     r2 = eval_pairs.main(args + ["--data_parallel", "2"])
     for k in r1:
         np.testing.assert_allclose(r1[k], r2[k], atol=1e-3, err_msg=k)
+
+
+def test_eval_multi_view_scan_matches_flat(eval_env):
+    """--eval_scan 2 (one dispatch lax.maps two eval_batch sub-chunks) must
+    reproduce the flat --eval_scan 1 metrics: same per-sub-chunk program body,
+    only the dispatch grouping changes."""
+    data_root, ckpt_root, _ = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_multi_view
+    from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset
+
+    ds = MatchingTupleDataset(
+        os.path.join(data_root, "scannet"), split="test", tuple_size=3,
+        n_samples=5, shuffle_tuple=False,
+    )
+    tuple_csv = os.path.join(ckpt_root, "tuples_scan.csv")
+    ds.write_sampled_tuples(tuple_csv, n=5)
+
+    args = [
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--tuple_size", "3", "--exp_name", "testexp",
+        "--test_tuple_file", tuple_csv, "--max_tuples", "5",
+        "--sinkhorn_iterations", "10", "--allow_random_superpoint",
+        "--eval_batch", "2",
+    ]
+    # 5 tuples, eval_batch 2: scan=2 runs chunks [2x2 grid (padded), 1x2
+    # sub-chunk], exercising the lax.map path, the squeeze path, AND padding
+    r1 = eval_multi_view.main(args + ["--eval_scan", "1"])
+    r2 = eval_multi_view.main(args + ["--eval_scan", "2"])
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], atol=1e-3, err_msg=k)
+
+
+def test_eval_pairs_scan_matches_flat(eval_env):
+    """eval_scan=2 on the pair benchmark (w8pt fused path, lax.map sub-chunks,
+    padded tail) reproduces the flat per-pair errors. Uses the evaluate()-level
+    setup of test_eval_pairs_batched_matches_sequential (match_threshold=0 so
+    the untrained matcher yields valid solves -- FINITE errors, making the
+    comparison non-vacuous; the CLI-default config fails all poses on random
+    weights and would compare infinities)."""
+    data_root, _, assets_root = eval_env
+    from types import SimpleNamespace
+
+    from e2e_multi_view_matching_tpu.cli import eval_pairs
+    from e2e_multi_view_matching_tpu.data.pairs import PairMatchingDataset
+    from e2e_multi_view_matching_tpu.models.matcher import (
+        MatcherConfig, MultiViewMatcher, default_gnn_layers,
+    )
+    from e2e_multi_view_matching_tpu.models.superpoint import (
+        SuperPoint, SuperPointConfig,
+    )
+
+    sp = SuperPoint(SuperPointConfig(
+        nms_radius=4, keypoint_threshold=1e-4, max_keypoints=1024,
+        remove_borders=8, fill_with_random_keypoints=False,
+    ))
+    matcher = MultiViewMatcher(MatcherConfig(
+        gnn_layers=default_gnn_layers(2, 1), sinkhorn_iterations=10,
+        conf_mlp=True, match_threshold=0.0,
+    ))
+    key = jax.random.PRNGKey(0)
+    sp_vars = sp.init({"params": key, "keypoints": key}, jnp.zeros((2, 64, 64, 1)))
+    m_vars = matcher.init(key, jnp.zeros((1, 2, 1024, 2)), jnp.zeros((1, 2, 1024)),
+                          jnp.zeros((1, 2, 1024, 256)), jnp.full((1, 2, 2), 96.0))
+    ds = PairMatchingDataset(
+        os.path.join(data_root, "scannet"),
+        [os.path.join(assets_root, "scannet_test_1500", "test.npz")],
+        720, "scannet",
+    )
+    errs = {}
+    # 4 pairs, eval_batch 2: scan=2 runs ONE dispatch with an S=2 lax.map
+    # grid; scan=1 runs two flat chunks
+    for scan in (1, 2):
+        opt = SimpleNamespace(eval_mode="w8pt_ba", max_pairs=4, eval_batch=2,
+                              eval_scan=scan)
+        errs[scan], cannot, _ = eval_pairs.evaluate(
+            opt, sp, sp_vars, matcher, m_vars, ds)
+        assert cannot == 0, "w8pt solve failed; comparison would be vacuous"
+        assert np.all(np.isfinite(errs[scan]))
+    # same program body per sub-chunk; only dispatch grouping changes. Allow
+    # the ulp-level divergence documented in the batched-vs-sequential test.
+    e1, e2 = np.asarray(errs[1]), np.asarray(errs[2])
+    both_garbage = (e1 > 20.0) & (e2 > 20.0)
+    np.testing.assert_allclose(np.where(both_garbage, 0.0, e1),
+                               np.where(both_garbage, 0.0, e2), atol=0.02)
