@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    bs = [int(a) for a in sys.argv[1:]] or [8, 12, 16]
+    bs = sys.argv[1:] or ["8", "16/2", "32/4"]
     import jax
     import jax.numpy as jnp
 
@@ -61,31 +61,47 @@ def main():
     m_vars = matcher.init(jax.random.PRNGKey(0), k1, s1, d1, sz1)
 
     results = []
-    for B in bs:
+    for spec in bs:
+        # "16/2" = global chunk 16 as a lax.scan over 2 sub-chunks of 8: ONE
+        # dispatch/fetch, program stays sub-chunk-sized (the tunnel's compile
+        # helper rejects the flat program beyond B=8 -- same limit as train,
+        # worked around the same way as --grad_accum)
+        if isinstance(spec, str) and "/" in spec:
+            B_total, n_sub = (int(x) for x in spec.split("/"))
+        else:
+            B_total, n_sub = int(spec), 1
+        B = B_total // n_sub
         images = jnp.asarray(
-            rng.uniform(size=(B * V, H, W, 1)).astype(np.float32))
+            rng.uniform(size=(n_sub, B * V, H, W, 1)).astype(np.float32))
         image_size = jnp.full((B, V, 2), 0.0).at[..., 0].set(H).at[..., 1].set(W)
         intr = jnp.broadcast_to(
             jnp.asarray([[525.0, 0, W / 2], [0, 525.0, H / 2], [0, 0, 1]],
                         np.float32), (B, V, 3, 3))
 
         @jax.jit
-        def fused(sp_vars, m_vars, images, intr_, image_size, rng_, B=B):
-            sp_out = sp.apply(sp_vars, images, rngs={"keypoints": rng_})
-            kpts_ = sp_out["keypoints"].reshape(B, V, K, 2)
-            scores_ = sp_out["scores"].reshape(B, V, K)
-            descs_ = sp_out["descriptors"].reshape(B, V, K, D)
-            out = matcher.apply(m_vars, kpts_, scores_, descs_, image_size)
-            return multi_view_pose_device(
-                kpts_, intr_, out["matches0"], out["conf_scores"], pcfg)
+        def fused(sp_vars, m_vars, images, intr_, image_size, rng_, B=B,
+                  n_sub=n_sub):
+            def one(imgs):
+                sp_out = sp.apply(sp_vars, imgs, rngs={"keypoints": rng_})
+                kpts_ = sp_out["keypoints"].reshape(B, V, K, 2)
+                scores_ = sp_out["scores"].reshape(B, V, K)
+                descs_ = sp_out["descriptors"].reshape(B, V, K, D)
+                out = matcher.apply(m_vars, kpts_, scores_, descs_, image_size)
+                return multi_view_pose_device(
+                    kpts_, intr_, out["matches0"], out["conf_scores"], pcfg)
 
+            if n_sub == 1:
+                return one(images[0])
+            return jax.lax.map(one, images)
+
+        label = f"B={B_total}" + (f" (scan {n_sub}x{B})" if n_sub > 1 else "")
         try:
             t0 = time.perf_counter()
             extr = np.asarray(fused(sp_vars, m_vars, images, intr,
                                     image_size, key))
             compile_s = time.perf_counter() - t0
         except Exception as e:  # tunnel compile-helper failures show as errors
-            print(f"B={B}: FAILED to compile/run: {type(e).__name__}: "
+            print(f"{label}: FAILED to compile/run: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
             continue
         assert np.all(np.isfinite(extr))
@@ -95,12 +111,13 @@ def main():
             np.asarray(fused(sp_vars, m_vars, images, intr, image_size, key))
             ts.append(time.perf_counter() - t0)
         t = min(ts)
-        print(f"B={B}: {t * 1e3:.1f} ms/chunk -> {t / B * 1e3:.1f} ms/tuple = "
-              f"{B / t:.2f} tuples/s  (compile {compile_s:.0f}s)", flush=True)
-        results.append((B, t / B * 1e3, B / t))
+        print(f"{label}: {t * 1e3:.1f} ms/chunk -> {t / B_total * 1e3:.1f} "
+              f"ms/tuple = {B_total / t:.2f} tuples/s  "
+              f"(compile {compile_s:.0f}s)", flush=True)
+        results.append((label, t / B_total * 1e3, B_total / t))
 
-    for B, ms, tps in results:
-        print(f"RESULT B={B} {ms:.1f} ms/tuple {tps:.2f} tuples/s")
+    for label, ms, tps in results:
+        print(f"RESULT {label} {ms:.1f} ms/tuple {tps:.2f} tuples/s")
 
 
 if __name__ == "__main__":
