@@ -138,8 +138,14 @@ def main():
                          "global chunk is 8*N tuples -- the weak-scaling "
                          "harness (BASELINE.md round-4 scaling procedure). "
                          "N must divide len(jax.devices()).")
+    ap.add_argument("--eval_scan", type=int, default=2,
+                    help="sub-chunks per dispatch for the fused eval stage "
+                         "(the eval CLIs' --eval_scan production default is "
+                         "2: one dispatch lax.maps eval_scan B=8 sub-chunks, "
+                         "amortizing the tunnel round trip; 1 = flat only)")
     args, _ = ap.parse_known_args()
     dp = max(1, args.data_parallel)
+    scan = max(1, args.eval_scan)
 
     B, V, K, D = 8 * dp, 5, 1024, 256
     H, W = 480, 640  # ScanNet eval resolution (depth-sized frames)
@@ -177,7 +183,8 @@ def main():
         nms_radius=4, keypoint_threshold=1e-3, max_keypoints=K,
         remove_borders=4, fill_with_random_keypoints=True,
     ))
-    images = place(jnp.asarray(rng.uniform(size=(B * V, H, W, 1)).astype(np.float32)))
+    images_np = rng.uniform(size=(B * V, H, W, 1)).astype(np.float32)
+    images = place(jnp.asarray(images_np))
     key = jax.random.PRNGKey(0)
     sp_vars = replicate(sp.init({"params": key, "keypoints": key},
                                 jnp.zeros((1, H, W, 1))))
@@ -301,6 +308,57 @@ def main():
           + (f"  [data_parallel={dp}: {tuples_per_s / dp:.2f} tuples/s/device, "
              f"global chunk B={B}]" if dp > 1 else ""),
           flush=True)
+
+    if scan > 1:
+        # production configuration of the eval CLIs (--eval_scan 2): ONE
+        # dispatch lax.maps `scan` B-sized sub-chunks, amortizing the tunnel
+        # round trip while the program body stays B-sized
+        if dp > 1:
+            place_s = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(None, "data")))
+        else:
+            place_s = lambda x: x
+        images_s = place_s(jnp.asarray(
+            np.broadcast_to(images_np, (scan,) + images_np.shape).copy()))
+        intr_s = place_s(jnp.asarray(
+            np.broadcast_to(intr, (scan,) + intr.shape).copy()))
+        size_s = place_s(jnp.broadcast_to(image_size, (scan,) + image_size.shape))
+
+        @jax.jit
+        def fused_scan_fn(sp_vars, m_vars, images_s, intr_s, size_s, rng_):
+            def one(a):
+                imgs, it, sz = a
+                sp_out = sp.apply(sp_vars, imgs, rngs={"keypoints": rng_})
+                kpts_ = sp_out["keypoints"].reshape(B, V, K, 2)
+                scores_ = sp_out["scores"].reshape(B, V, K)
+                descs_ = sp_out["descriptors"].reshape(B, V, K, D)
+                out = matcher.apply(m_vars, kpts_, scores_, descs_, sz)
+                return multi_view_pose_device(
+                    kpts_, it, out["matches0"], out["conf_scores"], pcfg)
+
+            return jax.lax.map(one, (images_s, intr_s, size_s))
+
+        def fused_scan():
+            return np.asarray(fused_scan_fn(sp_vars, variables, images_s,
+                                            intr_s, size_s, key))
+
+        fused_scan()  # compile
+        t_scan_l = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            extr_s = fused_scan()
+            t_scan_l.append(time.perf_counter() - t0)
+        t_scan = min(t_scan_l)
+        assert np.all(np.isfinite(extr_s))
+        n_tuples = scan * B
+        tuples_per_s = n_tuples / t_scan
+        e2e_mfu = scan * (sp_f + m_f) / t_scan / V5E_PEAK_FLOPS
+        print(f"end-to-end eval (fused, scan {scan}x{B}): "
+              f"{t_scan / n_tuples * 1e3:.1f} ms/tuple = "
+              f"{tuples_per_s:.2f} tuples/s, pipeline MFU {e2e_mfu * 100:.1f}%"
+              + (f"  [data_parallel={dp}: {tuples_per_s / dp:.2f} "
+                 f"tuples/s/device]" if dp > 1 else ""),
+              flush=True)
 
     # ---- stage 4: one full training step ---------------------------------
     from e2e_multi_view_matching_tpu.train.optim import build_optimizer
