@@ -25,6 +25,18 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native host runtime (libemvm_native.so) once per session when the
+# toolchain is available, so the native loader/overlap tests RUN instead of
+# skipping. Build failures (missing cmake/ninja/libjpeg) fall back to the
+# existing per-test skips -- never fail collection over an optional artifact.
+from e2e_multi_view_matching_tpu.data import native_loader  # noqa: E402
+
+if not native_loader.available():
+    try:
+        native_loader.build()
+    except Exception:
+        pass
+
 
 @pytest.fixture
 def rng():
