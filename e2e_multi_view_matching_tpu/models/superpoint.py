@@ -38,6 +38,11 @@ class SuperPointConfig:
     # bf16 measured 66.4 vs 84.0 ms for 40 frames 480x640 on the v5e
     # (tools/sp_profile.py); keypoint sets agree except at score ties.
     compute_dtype: str = "float32"
+    # "auto": exploit the NMS separation guarantee to run top-K over 4x4-block
+    # maxima (16x smaller input; identical selection for distinct scores) when
+    # nms_radius >= 3 and the map is large enough. "flat": always lax.top_k
+    # over the full score map.
+    topk_impl: str = "auto"
 
 
 class SuperPointNet(nn.Module):
@@ -206,11 +211,45 @@ class SuperPoint(nn.Module):
             )
             scores = scores * border[None]
 
-        flat = scores.reshape(B, -1)
         K = cfg.max_keypoints
-        top_scores, top_idx = jax.lax.top_k(flat, K)
-        ys = (top_idx // (Wc * 8)).astype(jnp.float32)
-        xs = (top_idx % (Wc * 8)).astype(jnp.float32)
+        H8, W8 = Hc * 8, Wc * 8
+        use_block_topk = (
+            cfg.topk_impl == "auto"
+            and cfg.nms_radius >= 3
+            and H8 % 4 == 0
+            and W8 % 4 == 0
+            and (H8 // 4) * (W8 // 4) >= K
+        )
+        if use_block_topk:
+            # NMS with radius r zeroes every non-maximum within Chebyshev
+            # distance r, so two survivors are > r apart; with r >= 3 a 4x4
+            # block (internal Chebyshev diameter 3) holds at most ONE
+            # survivor. Reducing each block to its (max, argmax) shrinks the
+            # top-K input 16x (e.g. 307200 -> 19200 at 480x640) with an
+            # identical selection for distinct scores -- lax.top_k over the
+            # full map was ~63 ms of the 40-frame detector forward on the
+            # v5e (tools/sp_scan_profile.py), the single largest stage.
+            # (At exact score ties the kept candidate/order can differ from
+            # flat top_k; NMS itself already resolves ties arbitrarily, and
+            # the reference's torch.topk tie order was never reproducible.)
+            blocks = scores.reshape(B, H8 // 4, 4, W8 // 4, 4)
+            blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(
+                B, H8 // 4, W8 // 4, 16)
+            bmax = jnp.max(blocks, axis=-1)
+            barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)
+            top_scores, cand_idx = jax.lax.top_k(
+                bmax.reshape(B, -1), K)  # over (H8/4)*(W8/4) candidates
+            sub = jnp.take_along_axis(
+                barg.reshape(B, -1), cand_idx, axis=1)  # (B, K) in [0, 16)
+            by = cand_idx // (W8 // 4)
+            bx = cand_idx % (W8 // 4)
+            ys = (by * 4 + sub // 4).astype(jnp.float32)
+            xs = (bx * 4 + sub % 4).astype(jnp.float32)
+        else:
+            flat = scores.reshape(B, -1)
+            top_scores, top_idx = jax.lax.top_k(flat, K)
+            ys = (top_idx // W8).astype(jnp.float32)
+            xs = (top_idx % W8).astype(jnp.float32)
         kpts = jnp.stack([xs, ys], axis=-1)  # (B, K, 2) xy
 
         valid = top_scores > cfg.keypoint_threshold

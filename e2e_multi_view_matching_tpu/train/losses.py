@@ -73,23 +73,39 @@ def matcher_losses(
     rot_loss = jnp.zeros(())
     transl_loss = jnp.zeros(())
     if pose_loss:
-        V = kpts.shape[1]
-        pairs = [(i, j) for j in range(V) for i in range(j)]  # matcher's pair order
-        K = kpts.shape[2]
-        for p in range(P):
-            i, j = pairs[p]
-            target = jnp.linalg.inv(poses[:, j]) @ poses[:, i]
-            matches0 = result["matches0"][:, p]  # (B, K)
-            conf = result["conf_scores"][:, p]  # (B, K)
-            conf = jnp.where(matches0 >= 0, conf, 0.0)
-            gather = jnp.clip(matches0, 0, K - 1)
-            kpts_j = jnp.take_along_axis(kpts[:, j], gather[..., None], axis=1)
-            T_pred, _ = estimate_relative_pose_w8pt(
-                kpts[:, i], kpts_j, intr[:, i], intr[:, j], conf,
-                choose_closest=True, target_T021=target,
-            )
-            rot_loss = rot_loss + rotation_angle_error(T_pred, target)
-            transl_loss = transl_loss + translation_angle_error(T_pred, target)
+        # All P pairs solved as ONE (B*P)-batched w8pt instead of a Python
+        # loop of P sequential B-sized solves: the small-solver chains
+        # (inverse iteration, two-ray depths) are latency-bound at B=8, so
+        # widening the batch 10x runs them at full VPU width -- the same
+        # batching the fused eval pipeline uses (mvba/pipeline.py stage A).
+        # Reductions reproduce the loop exactly: rot = sum_p mean_B;
+        # transl = sum_p [sum_B(err*valid) / max(sum_B valid, 1)]
+        # (`/root/reference/helpers.py:243-260` semantics).
+        V, K = kpts.shape[1], kpts.shape[2]
+        pairs = result["pairs"]  # (P, 2) int32, i < j, matcher's pair order
+        i_idx, j_idx = pairs[:, 0], pairs[:, 1]
+        target = jnp.linalg.inv(poses[:, j_idx]) @ poses[:, i_idx]  # (B,P,4,4)
+        matches0 = result["matches0"]  # (B, P, K)
+        conf = jnp.where(matches0 >= 0, result["conf_scores"], 0.0)
+        gather = jnp.clip(matches0, 0, K - 1)
+        kpts_j = jnp.take_along_axis(kpts[:, j_idx], gather[..., None], axis=2)
+        BP = B * P
+        isz = intr.shape[2:]
+        target_flat = target.reshape(BP, 4, 4)
+        T_pred, _ = estimate_relative_pose_w8pt(
+            kpts[:, i_idx].reshape(BP, K, 2), kpts_j.reshape(BP, K, 2),
+            intr[:, i_idx].reshape((BP,) + isz),
+            intr[:, j_idx].reshape((BP,) + isz),
+            conf.reshape(BP, K), choose_closest=True, target_T021=target_flat,
+        )
+        rot_err = rotation_angle_error(T_pred, target_flat, reduce=False)
+        rot_loss = jnp.sum(jnp.mean(rot_err.reshape(B, P), axis=0))
+        tr_err = translation_angle_error(T_pred, target_flat, reduce=False)
+        n = jnp.linalg.norm(T_pred[..., :3, 3], axis=-1) * jnp.linalg.norm(
+            target_flat[..., :3, 3], axis=-1)
+        valid = (n > 1e-6).reshape(B, P).astype(tr_err.dtype)
+        denom = jnp.maximum(jnp.sum(valid, axis=0), 1.0)  # per-pair
+        transl_loss = jnp.sum(jnp.sum(tr_err.reshape(B, P), axis=0) / denom)
     return {
         "match_loss": match_loss,
         "rot_loss": rot_loss,

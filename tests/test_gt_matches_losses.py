@@ -144,3 +144,74 @@ class TestPlaneScene:
         dm = scene.depth_map(1)
         for (x, y), d in zip(pix1, d1):
             assert abs(dm[int(y), int(x)] - d) < 0.05
+
+
+class TestBatchedPoseLoss:
+    """The P-batched pose loss must reproduce the per-pair loop exactly
+    (sum_p mean_B rot; sum_p weighted-mean transl -- helpers.py:243-260)."""
+
+    def test_matches_per_pair_loop(self, rng):
+        from e2e_multi_view_matching_tpu.geom.eightpoint import (
+            estimate_relative_pose_w8pt)
+        from e2e_multi_view_matching_tpu.geom.metrics import (
+            rotation_angle_error, translation_angle_error)
+        from e2e_multi_view_matching_tpu.train.losses import matcher_losses
+
+        B, V, K = 2, 3, 32
+        P = V * (V - 1) // 2
+        kpts = rng.uniform(20, 400, size=(B, V, K, 2)).astype(np.float32)
+        intr = np.broadcast_to(
+            np.array([[300.0, 0, 320, 0], [0, 300, 240, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32),
+            (B, V, 4, 4)).copy()
+        # random valid SE(3) poses
+        poses = np.zeros((B, V, 4, 4), np.float32)
+        for b in range(B):
+            for v in range(V):
+                ax = rng.normal(size=3)
+                ax = ax / np.linalg.norm(ax) * rng.uniform(0, 0.4)
+                th = np.linalg.norm(ax)
+                Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                               [-ax[1], ax[0], 0]])
+                R = np.eye(3) + (np.sin(th) / max(th, 1e-8)) * Kx + (
+                    (1 - np.cos(th)) / max(th * th, 1e-8)) * (Kx @ Kx)
+                poses[b, v, :3, :3] = R
+                poses[b, v, :3, 3] = rng.normal(size=3)
+                poses[b, v, 3, 3] = 1.0
+        matches0 = rng.integers(-1, K, size=(B, P, K)).astype(np.int32)
+        conf = rng.uniform(0.05, 1.0, size=(B, P, K)).astype(np.float32)
+        result = {
+            "log_assignment": jnp.zeros((B, P, K + 1, K + 1)),
+            "pairs": jnp.asarray([(i, j) for j in range(V) for i in range(j)],
+                                 dtype=jnp.int32),
+            "matches0": jnp.asarray(matches0),
+            "conf_scores": jnp.asarray(conf),
+        }
+        gi = jnp.zeros((B, P, 2, K + 1), jnp.int32)
+        gw = jnp.zeros((B, P, 2, K + 1), jnp.float32)
+        got = matcher_losses(result, gi, gw, jnp.asarray(kpts),
+                             jnp.asarray(intr), jnp.asarray(poses),
+                             pose_loss=True)
+
+        # the pre-batching per-pair loop, verbatim
+        pairs = [(i, j) for j in range(V) for i in range(j)]
+        rot_ref = jnp.zeros(())
+        tr_ref = jnp.zeros(())
+        kj = jnp.asarray(kpts)
+        for p in range(P):
+            i, j = pairs[p]
+            target = jnp.linalg.inv(jnp.asarray(poses)[:, j]) @ jnp.asarray(poses)[:, i]
+            m0 = result["matches0"][:, p]
+            cf = jnp.where(m0 >= 0, result["conf_scores"][:, p], 0.0)
+            gather = jnp.clip(m0, 0, K - 1)
+            kpts_j = jnp.take_along_axis(kj[:, j], gather[..., None], axis=1)
+            T_pred, _ = estimate_relative_pose_w8pt(
+                kj[:, i], kpts_j, jnp.asarray(intr)[:, i], jnp.asarray(intr)[:, j],
+                cf, choose_closest=True, target_T021=target)
+            rot_ref = rot_ref + rotation_angle_error(T_pred, target)
+            tr_ref = tr_ref + translation_angle_error(T_pred, target)
+
+        np.testing.assert_allclose(float(got["rot_loss"]), float(rot_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(got["transl_loss"]), float(tr_ref),
+                                   rtol=1e-5, atol=1e-6)

@@ -505,3 +505,39 @@ class TestMatcher:
         out, _, _ = self._run(V=2)
         P = np.exp(np.asarray(out["log_assignment"][0, 0]))
         np.testing.assert_allclose(P[:-1].sum(-1), 1.0, atol=1e-2)
+
+
+class TestBlockTopK:
+    """The 4x4-block-reduced top-K must select the same keypoints as flat
+    lax.top_k: NMS radius >= 3 separates survivors by > 3 Chebyshev, so each
+    block holds at most one survivor (exact for distinct scores)."""
+
+    def test_block_equals_flat(self, rng):
+        img = jnp.asarray(rng.uniform(size=(3, 160, 192, 1)).astype(np.float32))
+        base = dict(max_keypoints=128, remove_borders=4,
+                    fill_with_random_keypoints=False, keypoint_threshold=1e-6)
+        m_auto = SuperPoint(SuperPointConfig(**base, topk_impl="auto"))
+        m_flat = SuperPoint(SuperPointConfig(**base, topk_impl="flat"))
+        params = m_auto.init({"params": jax.random.PRNGKey(0)}, img)
+        oa = m_auto.apply(params, img)
+        of = m_flat.apply(params, img)
+        sa, sf = np.asarray(oa["scores"]), np.asarray(of["scores"])
+        np.testing.assert_allclose(sa, sf, rtol=0, atol=0)
+        # valid keypoints identical (positions of zero-score slots are
+        # arbitrary under both implementations)
+        valid = sf > 0
+        np.testing.assert_array_equal(
+            np.asarray(oa["keypoints"])[valid], np.asarray(of["keypoints"])[valid])
+        np.testing.assert_allclose(
+            np.asarray(oa["descriptors"])[valid],
+            np.asarray(of["descriptors"])[valid], atol=1e-6)
+
+    def test_small_map_falls_back(self, rng):
+        # (H8/4)*(W8/4) < K forces the flat path; output contract unchanged
+        img = jnp.asarray(rng.uniform(size=(1, 64, 64, 1)).astype(np.float32))
+        cfg = SuperPointConfig(max_keypoints=400, fill_with_random_keypoints=True)
+        m = SuperPoint(cfg)
+        params = m.init({"params": jax.random.PRNGKey(0),
+                         "keypoints": jax.random.PRNGKey(1)}, img)
+        out = m.apply(params, img, rngs={"keypoints": jax.random.PRNGKey(2)})
+        assert out["keypoints"].shape == (1, 400, 2)
