@@ -12,19 +12,27 @@ beats matching-score weighting) as a CURVE:
   reflections) and similar descriptors so Sinkhorn matches them, but sit at
   RANDOM positions (geometrically inconsistent with every pose, unlike the
   decoy gate's adversarial twins).
-- Train once on a mixed-rate stream (outlier fraction ~ U(0.1, 0.5)):
-  stage 1 (match loss) then stage 2 (blended pose loss through w8pt,
-  conf head grafted, hot conf LR -- same recipe as the passing gate).
-- Evaluate at fixed rates {10, 20, 30, 40, 50}%: pose AUC@5/10/20 with
-  score weighting vs conf weighting vs the oracle (1 on true points), on the
-  SAME matches, 24 fresh scenes per rate.
+- Train once on a mixed stream (outlier fraction ~ U(0.1, 0.5), twin
+  descriptor noise ~ U(0.1, 0.5)): stage 1 (match loss) then stage 2 (blended
+  pose loss through w8pt, conf head grafted, hot conf LR -- same recipe as
+  the passing gate).
+- Evaluate a (rate x twin-noise) GRID: rates {10, 30, 50}% x twin noise
+  {0.1, 0.3, 0.5}, plus the original rate curve at twin noise 0.1. Twin
+  noise controls how score-separable the outliers are: at 0.1 the twins
+  match at ~0.96 and matching scores cannot reject them (score AUC pinned
+  ~0, the adversarial end); at 0.5 the twins match with visibly lower
+  Sinkhorn scores, so score weighting partially self-rejects them -- the
+  margin at that end is the honest "conf vs a score baseline that is
+  actually trying" number the round-3 verdict asked for.
+- AUC@5/10/20 with score weighting vs conf weighting vs the oracle (1 on
+  true points), on the SAME matches, 24 fresh scenes per cell.
 
-Committed result (2000+2000 steps, ~28 min CPU): score-weighted AUC = 0 at
-EVERY rate (the converged matcher matches 0.96+ of the descriptor twins, so
-matching scores cannot reject them), conf-weighted AUC@20 = 63.9 -> 49.6
-across rates 10 -> 50% (oracle ceiling 75-85), conf on matched outliers
-0.001 vs 0.55-0.63 on true points. At 1200+1500 steps stage 1 is NOT
-converged and every weighting reads ~0 -- do not shorten the run.
+Committed result (2000+2000 steps, ~35 min CPU): at twin noise 0.1,
+score-weighted AUC = 0 at every rate while conf-weighted AUC@20 = 63.9 ->
+49.6 (oracle 75-85); the grid shows the margin shrinking as twins weaken
+but staying positive everywhere (see conf_outlier_sweep_result.json
+"grid"). At 1200+1500 steps stage 1 is NOT converged and every weighting
+reads ~0 -- do not shorten the run.
 
 Writes tools/conf_outlier_sweep_result.json (indexed in tools/RESULTS.md).
 
@@ -63,11 +71,13 @@ MB, N_EVAL = 8, 24
 key = jax.random.PRNGKey(0)
 
 
-def build_case(scene, rng, out_rate):
+def build_case(scene, rng, out_rate, twin_noise=0.1):
     """One two-view case with `out_rate` of the matched population outliers.
 
     Outliers: descriptor twins (matched by Sinkhorn) at random positions
-    (non-decoy noise -- no consistent wrong pose)."""
+    (non-decoy noise -- no consistent wrong pose). `twin_noise` sets how
+    similar the twin descriptors are (0.1: near-identical, scores cannot
+    reject; 0.5: weak twins, Sinkhorn scores partially reject them)."""
     n_out = int(round(N_MATCHED * out_rate))
     n_vis = N_MATCHED - n_out
     pix0, pix1 = scene.correspondences(0, 1, n_vis, rng, margin=12)
@@ -89,8 +99,8 @@ def build_case(scene, rng, out_rate):
     gt[1, s1t] = s0t
     bo = rng.normal(size=(n_out, D)).astype(np.float32)
     bo[:, -MARKER:] = bo[:, -MARKER:] * 0.5 + 1.2  # systematic signature
-    descs[0, s0o] = bo + rng.normal(size=(n_out, D)) * 0.1
-    descs[1, s1o] = bo + rng.normal(size=(n_out, D)) * 0.1
+    descs[0, s0o] = bo + rng.normal(size=(n_out, D)) * twin_noise
+    descs[1, s1o] = bo + rng.normal(size=(n_out, D)) * twin_noise
     # random positions: inconsistent with ANY single pose
     kpts[0, s0o] = rng.uniform([12, 12], [W - 12, H - 12], (n_out, 2))
     kpts[1, s1o] = rng.uniform([12, 12], [W - 12, H - 12], (n_out, 2))
@@ -113,10 +123,10 @@ def build_case(scene, rng, out_rate):
             out_mask0)
 
 
-def build_set(n, rate_fn):
+def build_set(n, rate_fn, twin_fn=lambda: 0.1):
     cases = [build_case(
         SphereFieldScene(rng, n_views=V, H=H, W=W, f=F, baseline=0.9,
-                         rot_jitter=0.1), rng, rate_fn())
+                         rot_jitter=0.1), rng, rate_fn(), twin_fn())
         for _ in range(n)]
     st = lambda i: jnp.asarray(np.stack([c[i] for c in cases]))
     return tuple(st(i) for i in range(9))
@@ -153,9 +163,10 @@ def step1(params, bstats, opt_state, bk, bs_, bd, bgi, bgw):
 S1 = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 S2 = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 train_rate = lambda: float(rng.uniform(0.1, 0.5))
+train_twin = lambda: float(rng.uniform(0.1, 0.5))
 t0 = time.time()
 for s in range(S1):
-    b = build_set(MB, train_rate)
+    b = build_set(MB, train_rate, train_twin)
     params, bstats, opt_state, l = step1(params, bstats, opt_state,
                                          b[1], b[2], b[0], b[3], b[4])
     if (s + 1) % 300 == 0:
@@ -189,7 +200,7 @@ def step2(params, bstats, opt_state, ratio, bk, bs_, bd, bgi, bgw, bintr, bposes
 
 
 for s in range(S2):
-    b = build_set(MB, train_rate)
+    b = build_set(MB, train_rate, train_twin)
     ratio = 0.8 * min(1., s / max(1, S2 // 10))
     bintr = jnp.tile(b[6][:, None], (1, V, 1, 1))
     params2, bstats2, opt2, l = step2(params2, bstats2, opt2, ratio,
@@ -199,8 +210,8 @@ for s in range(S2):
               flush=True)
 
 
-def eval_rate(rate):
-    ev = build_set(N_EVAL, lambda: rate)
+def eval_rate(rate, twin_noise=0.1):
+    ev = build_set(N_EVAL, lambda: rate, lambda: twin_noise)
     e_size = jnp.full((N_EVAL, V, 2), 0.).at[..., 0].set(H).at[..., 1].set(W)
     out = matcher2.apply({"params": params2, "batch_stats": bstats2},
                          ev[1], ev[2], ev[0], e_size)
@@ -226,6 +237,7 @@ def eval_rate(rate):
     correct = mm & (m0n == gt0)
     return {
         "outlier_rate": rate,
+        "twin_noise": twin_noise,
         "outlier_matched_frac": round(float(mm[outm].mean()), 3),
         "true_matched_frac": round(float(mm[true_lab].mean()), 3),
         "true_correct_frac": round(float(correct[true_lab].mean()), 3),
@@ -240,11 +252,11 @@ def eval_rate(rate):
     }
 
 
-curve = [eval_rate(r) for r in (0.1, 0.2, 0.3, 0.4, 0.5)]
-for row in curve:
+def show(row):
     margin = [round(c - s, 1) for c, s in zip(row["conf_w_auc"],
                                               row["score_w_auc"])]
-    print(f"rate {row['outlier_rate']:.1f}: score {row['score_w_auc']} "
+    print(f"rate {row['outlier_rate']:.1f} tn {row['twin_noise']:.1f}: "
+          f"score {row['score_w_auc']} "
           f"conf {row['conf_w_auc']} (margin {margin}) "
           f"oracle {row['oracle_w_auc']} corr {row['oracle_corr_auc']} "
           f"match t/c/o {row['true_matched_frac']}/{row['true_correct_frac']}"
@@ -252,11 +264,23 @@ for row in curve:
           f"conf out/true {row['conf_on_outliers']}/{row['conf_on_true']}",
           flush=True)
 
+
+curve = [eval_rate(r) for r in (0.1, 0.2, 0.3, 0.4, 0.5)]
+for row in curve:
+    show(row)
+# the de-rigged grid: weaker twins let matching scores partially reject the
+# outliers themselves, so the score baseline is no longer 0 by construction
+grid = [eval_rate(r, tn) for tn in (0.3, 0.5) for r in (0.1, 0.3, 0.5)]
+for row in grid:
+    show(row)
+
 result = {
     "fixture": "non-decoy noise: marker-descriptor twins at random positions",
     "train": {"S1": S1, "S2": S2, "mixed_rate": "U(0.1, 0.5)",
+              "mixed_twin_noise": "U(0.1, 0.5)",
               "conf_lr": 1e-3, "time_s": round(time.time() - t0, 1)},
     "curve": curve,
+    "grid": grid,
 }
 out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "conf_outlier_sweep_result.json")
