@@ -227,14 +227,18 @@ def test_eval_pairs_shape_bucketing(eval_env):
         errs, cannot, n_sig = eval_pairs.evaluate(
             opt, sp, sp_vars, matcher, m_vars, dataset)
         runs[bucket] = (np.asarray(errs), n_sig)
-        assert np.all(np.isfinite(runs[bucket][0]))
     assert runs[0][1] == 3, "exact-shape path should see 3 shape signatures"
     assert runs[128][1] == 1, "bucketed path must compile ONE program"
     # same AUC-level invariant as the batched-vs-sequential test: the two
     # paths run shape-different XLA programs (f32 ulp noise, amplified by the
-    # discrete cheirality gates on garbage pairs)
+    # discrete cheirality gates on garbage pairs). inf is a legitimate
+    # per-pair result (failed estimation sentinel, reference semantics --
+    # eval_pairs.py appends inf when w8pt validity fails) and counts as
+    # garbage: these random-weight pairs sit far outside the AUC range, and
+    # which zero-score padding keypoints the detector picks (flat vs block
+    # top-K tie order) legitimately shifts them between huge and inf.
     e0, eb = runs[0][0], runs[128][0]
-    both_garbage = (e0 > 20.0) & (eb > 20.0)
+    both_garbage = (~np.isfinite(e0) | (e0 > 20.0)) & (~np.isfinite(eb) | (eb > 20.0))
     np.testing.assert_allclose(np.where(both_garbage, 0.0, e0),
                                np.where(both_garbage, 0.0, eb), atol=0.05)
 
