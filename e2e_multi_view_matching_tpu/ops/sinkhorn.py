@@ -59,7 +59,10 @@ def log_sinkhorn_mxu(couplings, log_mu, log_nu, n_iters, absorb_every=10):
 
     The iteration count rounds UP to a multiple of `absorb_every`.
     """
-    tiny = jnp.asarray(1e-38, couplings.dtype)
+    # 1e-30, NOT 1e-38: f32 subnormals flush to zero on TPU, so a subnormal
+    # guard is no guard at all -- a fully-underflowed row/column sum would
+    # divide by exactly 0 (same fix as the Pallas scaling kernel)
+    tiny = jnp.asarray(1e-30, couplings.dtype)
     mu = jnp.exp(log_mu)
     nu = jnp.exp(log_nu)
     n_absorb = -(-n_iters // absorb_every)

@@ -18,11 +18,14 @@ Two algorithms share that structure:
   column marginals, so extreme scores cannot overflow), then K stays resident
   in VMEM and each iteration is two multiply-reduce sweeps -- no
   transcendentals. Every `absorb_every` iterations the scalings are absorbed
-  multiplicatively (K *= a b^T, u += log a, v += log b), which keeps a/b near
-  1 and f32 exact; the couplings are re-fetched once at the end to emit the
-  output in full log-domain precision (coup + u + v), identical formula to the
-  XLA implementations. Iteration count rounds UP to a multiple of
-  `absorb_every`, matching `log_sinkhorn_mxu`.
+  into the log potentials (u += log a, v += log b) and K is REBUILT as
+  exp(coup + u + v) from a second VMEM buffer holding the couplings -- full
+  Schmitzer absorption, which revives entries that underflowed to 0 inside
+  the block (a multiplicative K *= a b^T carry cannot, and corrupted
+  extreme-score inputs -- see `_sinkhorn_scaling_kernel`). The output is
+  emitted as coup + u + v, identical formula to the XLA implementations.
+  Iteration count rounds UP to a multiple of `absorb_every`, matching
+  `log_sinkhorn_mxu`.
 
 Grid: one program per (batch*pair) matrix. The dual potentials u, v live in
 VMEM scratch. Shapes need not be 128-aligned (Mosaic pads internally); the
@@ -103,12 +106,21 @@ def _sinkhorn_kernel(coup_hbm, log_mu_ref, log_nu_ref, out_hbm, *, n_iters):
 def _sinkhorn_scaling_kernel(
     coup_hbm, log_mu_ref, log_nu_ref, out_hbm, *, n_iters, absorb_every
 ):
-    """Stabilized scaling-domain Sinkhorn with K resident in one VMEM buffer.
+    """Stabilized scaling-domain Sinkhorn; couplings AND K both VMEM-resident.
 
-    The buffer holds the couplings for the hoisted exact iteration, is
-    overwritten by K = exp(coup + u + v), carries K multiplicatively across
-    absorption blocks, and is finally re-filled with the couplings (one extra
-    4 MB DMA) to emit coup + u + v. Peak VMEM: one matrix + elementwise temps.
+    Every absorption rebuilds K = exp(coup + u + v) from the resident
+    couplings (full Schmitzer absorption). An earlier revision carried K
+    MULTIPLICATIVELY across blocks (K *= a b^T) to save the rebuild sweep;
+    that is wrong under f32: entries that underflow to exactly 0 inside a
+    block can never be revived by a later scaling, so extreme-score inputs
+    (e.g. random-init descriptors, |coup| ~ 1e3) lose whole rows of mass and
+    the output log-assignment blows up to +hundreds (found round 5 via NaN
+    conf scores, tools/conf_nan_probe.py: max log_p 444 vs the correct
+    log(M+N) ~ 6.9 ceiling). Rebuilding from the log domain revives
+    underflowed entries whenever the duals regain their mass, exactly like
+    `log_sinkhorn_mxu`'s per-block recompute. Cost: one exp sweep per
+    absorption block (10% of iterations) and a second VMEM matrix; in
+    exchange the final couplings re-fetch DMA disappears.
     """
     log_mu = log_mu_ref[0, 0]  # (M,)
     log_nu = log_nu_ref[0, 0]  # (N,)
@@ -118,11 +130,11 @@ def _sinkhorn_scaling_kernel(
     # have mu = 0 and row-sum = 0, so a subnormal guard would yield 0/0 = NaN
     tiny = jnp.asarray(1e-30, coup_hbm.dtype)
 
-    def run(buf, sem_in, sem_out):
-        copy_in = pltpu.make_async_copy(coup_hbm.at[b], buf, sem_in)
+    def run(bufC, bufK, sem_in, sem_out):
+        copy_in = pltpu.make_async_copy(coup_hbm.at[b], bufC, sem_in)
         copy_in.start()
         copy_in.wait()
-        coup = buf[:]
+        coup = bufC[:]
         mu = jnp.exp(log_mu)
         nu = jnp.exp(log_nu)
 
@@ -136,12 +148,12 @@ def _sinkhorn_scaling_kernel(
         b1 = coup + u[:, None]
         m0 = jnp.max(b1, axis=0)
         v = log_nu - (jnp.log(jnp.sum(jnp.exp(b1 - m0[None, :]), axis=0)) + m0)
-        buf[:] = jnp.exp(coup + u[:, None] + v[None, :])
+        bufK[:] = jnp.exp(coup + u[:, None] + v[None, :])
 
         def scaling_iters(n, a, bb):
             def inner(_, ab):
                 a, bb = ab
-                K = buf[:]
+                K = bufK[:]
                 a = mu / (jnp.sum(K * bb[None, :], axis=1) + tiny)
                 bb = nu / (jnp.sum(K * a[:, None], axis=0) + tiny)
                 return a, bb
@@ -149,8 +161,13 @@ def _sinkhorn_scaling_kernel(
             return jax.lax.fori_loop(n, absorb_every, inner, (a, bb))
 
         def absorb(a, bb, u, v):
-            buf[:] = buf[:] * (a[:, None] * bb[None, :])
-            return u + jnp.log(a + tiny), v + jnp.log(bb + tiny)
+            u = u + jnp.log(a + tiny)
+            v = v + jnp.log(bb + tiny)
+            # full re-exponentiation from the resident couplings -- NOT
+            # bufK *= a b^T (see docstring: multiplicative carry cannot
+            # revive underflowed entries and corrupts extreme-score inputs)
+            bufK[:] = jnp.exp(bufC[:] + u[:, None] + v[None, :])
+            return u, v
 
         # Block 1: the exact iteration above + (absorb_every - 1) scaling
         # iterations; blocks 2..n_absorb: absorb_every scaling iterations each.
@@ -166,18 +183,16 @@ def _sinkhorn_scaling_kernel(
 
         u, v = jax.lax.fori_loop(0, n_absorb - 1, block, (u, v))
 
-        # Re-fetch the couplings to emit the log-domain output exactly as the
-        # XLA paths do (log of the multiplied-down K would lose the tail).
-        copy_in2 = pltpu.make_async_copy(coup_hbm.at[b], buf, sem_in)
-        copy_in2.start()
-        copy_in2.wait()
-        buf[:] = buf[:] + (u[:, None] + v[None, :])
-        copy_out = pltpu.make_async_copy(buf, out_hbm.at[b], sem_out)
+        # Emit coup + u + v from the still-resident couplings (the XLA paths'
+        # exact output formula; no re-fetch DMA needed).
+        bufK[:] = bufC[:] + (u[:, None] + v[None, :])
+        copy_out = pltpu.make_async_copy(bufK, out_hbm.at[b], sem_out)
         copy_out.start()
         copy_out.wait()
 
     pl.run_scoped(
         run,
+        pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
         pltpu.VMEM(coup_hbm.shape[1:], coup_hbm.dtype),
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
@@ -431,7 +446,8 @@ def _pallas_sinkhorn(couplings, log_mu, log_nu, n_iters, interpret=False,
         out_shape=jax.ShapeDtypeStruct((B, Mp, Np), couplings.dtype),
         interpret=interpret,
         # raise Mosaic's default 16 MB VMEM cap (v5e has 128 MB physical):
-        # the resident matrix is Mp*Np*4 bytes -- 18.9 MB at K=2048
+        # the scaling kernel holds TWO resident matrices (couplings + K),
+        # 2 * Mp*Np*4 bytes -- 37.8 MB at K=2048
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(couplings, log_mu[:, None, :], log_nu[:, None, :])

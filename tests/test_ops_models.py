@@ -125,6 +125,25 @@ class TestSinkhorn:
         np.testing.assert_allclose(np.exp(np.asarray(Z_pal)),
                                    np.exp(np.asarray(Z_ref)), atol=5e-4)
 
+        # random-init-magnitude scores (|s| ~ 1e2-1e3 after 28 untrained GNN
+        # layers): regression for the round-5 stale-underflow bug -- the old
+        # multiplicative K *= a b^T absorption could never revive entries that
+        # underflowed to 0 inside a block, so whole rows lost their mass and
+        # the log assignment blew up to +50..400 (valid ceiling: log(M+N));
+        # downstream exp() then turned conf scores into inf/NaN on the real
+        # eval path (tools/conf_nan_probe.py). Full Schmitzer re-exponentiation
+        # per absorption fixes it.
+        for scale in (100.0, 400.0):
+            huge = jnp.asarray(
+                rng.normal(size=(2, 200, 200)).astype(np.float32) * scale)
+            Z_pal = log_optimal_transport_pallas(huge, 1.0, 100, interpret=True)
+            Z_ref = log_optimal_transport(huge, 1.0, 100)
+            assert np.all(np.isfinite(np.asarray(Z_pal)))
+            assert float(jnp.max(Z_pal)) < np.log(400.0) + 1.0, \
+                f"log assignment exceeds the marginal ceiling at scale {scale}"
+            np.testing.assert_allclose(np.exp(np.asarray(Z_pal)),
+                                       np.exp(np.asarray(Z_ref)), atol=5e-4)
+
         # gradient: 25 rounds up to 30 -- must match the 30-iteration VJP
         def loss(impl_fn, iters):
             def f(s):

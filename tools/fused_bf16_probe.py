@@ -66,7 +66,7 @@ def main():
         matcher = MultiViewMatcher(MatcherConfig(
             gnn_layers=default_gnn_layers(7, 3), sinkhorn_iterations=100,
             conf_mlp=True, multi_frame_matching=True,
-            attention_impl="pallas", sinkhorn_impl="mxu", compute_dtype=dtype,
+            attention_impl="pallas", sinkhorn_impl="pallas", compute_dtype=dtype,
         ))
         sp_vars = sp.init({"params": key, "keypoints": key}, images[:1])
         m_vars = matcher.init(
@@ -94,9 +94,11 @@ def main():
             ts.append(time.perf_counter() - t0)
         t = min(ts)
         assert np.all(np.isfinite(e)), dtype
-        results[dtype] = (t, e, np.asarray(conf))
+        c = np.asarray(conf)
+        results[dtype] = (t, e, c)
         print(f"{dtype}: fused e2e {t * 1e3:.1f} ms/batch -> "
-              f"{t / B * 1e3:.1f} ms/tuple = {B / t:.2f} tuples/s", flush=True)
+              f"{t / B * 1e3:.1f} ms/tuple = {B / t:.2f} tuples/s "
+              f"[conf nan: {int(np.isnan(c).sum())}/{c.size}]", flush=True)
 
     t32, e32, c32 = results["float32"]
     t16, e16, c16 = results["bfloat16"]
