@@ -15,10 +15,15 @@ overhead explicitly. MFU is computed from analytic matmul/conv FLOPs against
 the v5e bf16 MXU peak (197 TFLOP/s) -- conservative for f32 execution.
 
 Prints per-stage lines, then ONE final JSON line {"metric", "value", "unit",
-"vs_baseline"}. `vs_baseline` is ESTIMATE-ONLY: the reference publishes no
-absolute throughput (BASELINE.md); the anchor 0.7 tuples/s is a documented
-guess of its sequential per-pair GPU eval (~10 pairs x ~150 ms). The honest
-measured anchor is round 1's 20.53 tuples/s (BENCH_r01.json, matcher-only).
+"vs_baseline"}. The headline is the PRODUCTION dispatch pattern: the eval
+CLIs' depth-2 pipelined loop (one chunk in flight, fetch overlapped with the
+next chunk's compute) over scan x B chunks -- the serial per-dispatch numbers
+above it understate what `cli/eval_multi_view.py` actually achieves by the
+~25 ms tunnel round trip. `vs_baseline` is ESTIMATE-ONLY: the reference
+publishes no absolute throughput (BASELINE.md); the anchor 0.7 tuples/s is a
+documented guess of its sequential per-pair GPU eval (~10 pairs x ~150 ms).
+The honest measured anchor is round 1's 20.53 tuples/s (BENCH_r01.json,
+matcher-only).
 """
 
 import json
@@ -355,6 +360,40 @@ def main():
         e2e_mfu = scan * (sp_f + m_f) / t_scan / V5E_PEAK_FLOPS
         print(f"end-to-end eval (fused, scan {scan}x{B}): "
               f"{t_scan / n_tuples * 1e3:.1f} ms/tuple = "
+              f"{tuples_per_s:.2f} tuples/s, pipeline MFU {e2e_mfu * 100:.1f}%"
+              + (f"  [data_parallel={dp}: {tuples_per_s / dp:.2f} "
+                 f"tuples/s/device]" if dp > 1 else ""),
+              flush=True)
+
+        # ---- production dispatch loop: the eval CLIs keep ONE chunk in
+        # flight (depth-2 pipeline, cli/eval_multi_view.py `dispatch`), so
+        # the tunnel's ~25 ms host round trip overlaps device compute. The
+        # serial dispatch->fetch->dispatch numbers above UNDERSTATE the
+        # CLI's actual throughput; this loop measures the real pattern over
+        # several chunks and is the headline.
+        N_CHUNKS = 6
+
+        def run_production_loop():
+            t0 = time.perf_counter()
+            acc = 0.0
+            in_flight = fused_scan_fn(sp_vars, variables, images_s,
+                                      intr_s, size_s, key)
+            for ci in range(N_CHUNKS):
+                cur = in_flight
+                if ci + 1 < N_CHUNKS:
+                    in_flight = fused_scan_fn(sp_vars, variables, images_s,
+                                              intr_s, size_s, key)
+                e = np.asarray(cur)  # the CLI's full extrinsics fetch
+                acc += float(e.ravel()[0])
+            return (time.perf_counter() - t0), acc
+
+        run_production_loop()  # warm
+        t_prod = min(run_production_loop()[0] for _ in range(3))
+        tuples_per_s = N_CHUNKS * n_tuples / t_prod
+        e2e_mfu = N_CHUNKS * scan * (sp_f + m_f) / t_prod / V5E_PEAK_FLOPS
+        print(f"end-to-end eval (production loop, depth-2 pipeline, "
+              f"{N_CHUNKS} chunks of {scan}x{B}): "
+              f"{t_prod / (N_CHUNKS * n_tuples) * 1e3:.1f} ms/tuple = "
               f"{tuples_per_s:.2f} tuples/s, pipeline MFU {e2e_mfu * 100:.1f}%"
               + (f"  [data_parallel={dp}: {tuples_per_s / dp:.2f} "
                  f"tuples/s/device]" if dp > 1 else ""),

@@ -49,6 +49,9 @@ def main():
                         help="conf-MLP gate: stage-2 (blended pose loss) steps")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--save_mv", type=str, default=None,
+                        help="pickle the V=5-trained matcher params + eval "
+                             "fixture here (requires --mv_train_steps > 0)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -441,6 +444,26 @@ def main():
                 "precision_multi_view_trained": prec_tr,
                 "mv_train_steps": args.mv_train_steps,
             })
+            if args.save_mv:
+                # persist the trained V=5 model + eval fixture so other
+                # probes (e.g. tools/bf16_mv_gate.py, the dtype-parity gate)
+                # can re-benchmark the SAME trained weights under different
+                # compute dtypes / kernel impls without retraining
+                import pickle
+
+                with open(args.save_mv, "wb") as f:
+                    pickle.dump({
+                        "params": jax.device_get(params5),
+                        "batch_stats": jax.device_get(bstats5),
+                        "mv_kpts": np.asarray(mv_kpts),
+                        "mv_descs": np.asarray(mv_descs),
+                        "mv_T": mv_T, "mv_intr": mv_intr,
+                        "mv_oracle_m0": mv_oracle_m0,
+                        "auc_f32_at_save": mv_auc_tr,
+                        "K": K, "H": H, "W": W, "V": V_MV, "D": D,
+                    }, f)
+                print(f"saved trained mv model + fixture -> {args.save_mv}",
+                      flush=True)
 
     if args.stage2_steps > 0:
         # ---- stage 2: conf-MLP graft + pose-loss fine-tuning ---------------
