@@ -31,8 +31,10 @@ import jax.numpy as jnp  # noqa: E402
 from e2e_multi_view_matching_tpu.models.matcher import (  # noqa: E402
     MatcherConfig, MultiViewMatcher, default_gnn_layers)
 
-B, V, K, D = 8, 5, 400, 256
-ITERS = 8
+B, V, K, D = 8, 5, int(os.environ.get("EMVM_MSP_K", "400")), 256
+ITERS = int(os.environ.get("EMVM_MSP_ITERS", "8"))
+DTYPE = os.environ.get("EMVM_MSP_DTYPE", "bfloat16")  # matcher compute dtype
+TRAIN = os.environ.get("EMVM_MSP_TRAIN", "1") == "1"  # train vs eval forward
 key = jax.random.PRNGKey(0)
 rng = np.random.default_rng(0)
 kpts = jnp.asarray(rng.uniform(0, 480, size=(B, V, K, 2)).astype(np.float32))
@@ -71,12 +73,16 @@ def build(gnn_layers, sinkhorn_iterations=100, full_output=True, impl="pallas"):
     m = MultiViewMatcher(MatcherConfig(
         gnn_layers=gnn_layers, sinkhorn_iterations=sinkhorn_iterations,
         conf_mlp=full_output, multi_frame_matching=True,
-        compute_dtype="bfloat16", attention_impl=impl, sinkhorn_impl=impl))
+        compute_dtype=DTYPE, attention_impl=impl, sinkhorn_impl=impl))
     v = m.init(key, kpts[:1], scores[:1], descs[:1], image_size[:1])
 
     def fn():
-        out, _ = m.apply(v, kpts, scores, descs, image_size, train=True,
-                         full_output=full_output, mutable=["batch_stats"])
+        if TRAIN:
+            out, _ = m.apply(v, kpts, scores, descs, image_size, train=True,
+                             full_output=full_output, mutable=["batch_stats"])
+        else:
+            out = m.apply(v, kpts, scores, descs, image_size,
+                          full_output=full_output)
         # consume every float leaf fully (prevents DCE of unused outputs)
         return {k: o for k, o in out.items()
                 if o.dtype in (jnp.float32, jnp.bfloat16)}
@@ -84,7 +90,8 @@ def build(gnn_layers, sinkhorn_iterations=100, full_output=True, impl="pallas"):
 
 
 full_gnn = default_gnn_layers(7, 3)
-print(f"B={B} V={V} K={K} bf16 pallas, scan x{ITERS} in one jit", flush=True)
+print(f"B={B} V={V} K={K} {DTYPE} pallas train={TRAIN}, "
+      f"scan x{ITERS} in one jit", flush=True)
 t0l = timed_scan(build((), 1, False), "kenc + scores + Sinkhorn(1), no GNN")
 t1b = timed_scan(build(full_gnn[:4], 1, False), "+ 1x(self+3cross) GNN block")
 t7b = timed_scan(build(full_gnn, 1, False), "+ 7x(self+3cross) GNN (full depth)")
