@@ -38,17 +38,19 @@ import jax.numpy as jnp  # noqa: E402
 from e2e_multi_view_matching_tpu.models.superpoint import (  # noqa: E402
     SuperPoint, SuperPointConfig, sample_descriptors, simple_nms)
 
-N, H, W, K = 40, 480, 640, 400
+N, H, W = 40, 480, 640
+K = int(os.environ.get("EMVM_SPS_K", "400"))
+DTYPE = os.environ.get("EMVM_SPS_DTYPE", "bfloat16")
 ITERS = 8
 key = jax.random.PRNGKey(0)
 img = jax.random.uniform(key, (N, H, W, 1), jnp.float32)
-cfg = SuperPointConfig(max_keypoints=K, compute_dtype="bfloat16",
+cfg = SuperPointConfig(max_keypoints=K, compute_dtype=DTYPE,
                        fill_with_random_keypoints=True, remove_borders=12,
                        keypoint_threshold=1e-3)
 sp = SuperPoint(cfg)
 variables = sp.init({"params": jax.random.PRNGKey(1), "keypoints": key}, img[:1])
 p = variables["params"]["net"]
-dt = jnp.bfloat16
+dt = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
 
 
 def conv(x, w, b):
@@ -149,7 +151,7 @@ def full_fn(im):
     return sp.apply(variables, im, rngs={"keypoints": key})
 
 
-print(f"{N} frames {H}x{W} K={K} bf16, scan x{ITERS} in one jit", flush=True)
+print(f"{N} frames {H}x{W} K={K} {DTYPE}, scan x{ITERS} in one jit", flush=True)
 t = {}
 t[1] = timed_scan(cut(1), "conv1a+1b (full-res 64ch)")
 t[2] = timed_scan(cut(2), "+ pool + conv2a/b (half-res 64ch)")
