@@ -394,6 +394,36 @@ def test_eval_multi_view_scan_matches_flat(eval_env):
         np.testing.assert_allclose(r1[k], r2[k], atol=1e-3, err_msg=k)
 
 
+def test_eval_multi_view_pipeline_matches_sync(eval_env):
+    """The depth-2 dispatch pipeline (one chunk in flight -- the production
+    and bench headline pattern) must reproduce the synchronous --no_pipeline
+    loop exactly: only dispatch ordering changes, never which samples a
+    fetched result is attributed to. 6 tuples / chunk_len 2 = 3 chunks, so
+    the in-flight handoff rotates at least twice."""
+    data_root, ckpt_root, _ = eval_env
+    from e2e_multi_view_matching_tpu.cli import eval_multi_view
+    from e2e_multi_view_matching_tpu.data.tuples import MatchingTupleDataset
+
+    ds = MatchingTupleDataset(
+        os.path.join(data_root, "scannet"), split="test", tuple_size=3,
+        n_samples=6, shuffle_tuple=False,
+    )
+    tuple_csv = os.path.join(ckpt_root, "tuples_pipe.csv")
+    ds.write_sampled_tuples(tuple_csv, n=6)
+
+    args = [
+        "--data_dir", data_root, "--checkpoint_dir", ckpt_root,
+        "--dataset", "scannet", "--tuple_size", "3", "--exp_name", "testexp",
+        "--test_tuple_file", tuple_csv, "--max_tuples", "6",
+        "--sinkhorn_iterations", "10", "--allow_random_superpoint",
+        "--eval_batch", "2", "--eval_scan", "1",
+    ]
+    r1 = eval_multi_view.main(args)
+    r2 = eval_multi_view.main(args + ["--no_pipeline"])
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r2[k], atol=1e-6, err_msg=k)
+
+
 def test_eval_pairs_scan_matches_flat(eval_env):
     """eval_scan=2 on the pair benchmark (w8pt fused path, lax.map sub-chunks,
     padded tail) reproduces the flat per-pair errors. Uses the evaluate()-level
