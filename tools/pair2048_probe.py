@@ -119,6 +119,27 @@ def main():
               f"ms/pair = {n / t:.2f} pairs/s (compile {compile_s:.0f}s)",
               flush=True)
 
+        # production pattern: depth-2 dispatch pipeline (one chunk in flight,
+        # cli/eval_pairs.py) -- hides the fetch/round-trip behind the next
+        # chunk's compute even though this shape is compute-bound
+        NCHUNK = 4
+
+        def prod_loop():
+            t0 = time.perf_counter()
+            in_flight = fused(imgs0, imgs1, sizes, valid, K0)
+            for ci in range(NCHUNK):
+                cur = in_flight
+                if ci + 1 < NCHUNK:
+                    in_flight = fused(imgs0, imgs1, sizes, valid, K0)
+                np.asarray(cur)
+            return time.perf_counter() - t0
+
+        prod_loop()
+        tp = min(prod_loop() for _ in range(2))
+        print(f"RESULT {label} production loop (depth-2, {NCHUNK} chunks): "
+              f"{tp / (NCHUNK * n) * 1e3:.1f} ms/pair = "
+              f"{NCHUNK * n / tp:.2f} pairs/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
